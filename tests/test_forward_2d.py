@@ -1,0 +1,126 @@
+"""2D forward-solver tests mirroring the reference suite
+(src/2D/tests_2D/Test_2d_Forward/test_2d_forward.py): Laplacian
+eigenfunction, IC properties, solve_w, mass conservation, energy decrease,
+large-dt stability, linear-stability dispersion relation, Newton convergence
+— plus golden parity vs the actual reference run."""
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from vch_tpu.config import DELTA_SEP, ForwardSolverConfig2D
+from vch_tpu.models.forward1d import solve_w
+from vch_tpu.models.forward2d import ForwardSolver2D
+from vch_tpu.ops.grids import trapz_weights
+from vch_tpu.ops.laplacian import apply_laplacian_2d
+from vch_tpu.ops.linsolve import make_spectral_op_2d
+from vch_tpu.ops.potential import free_energy_2d, init_phi_random_2d
+
+
+CFG32 = ForwardSolverConfig2D(Nx=32, Ny=32, T=0.25)
+
+
+@pytest.fixture(scope="module")
+def solver():
+    return ForwardSolver2D(CFG32)
+
+
+def test_2d_laplacian_eigenfunction():
+    """Lap cos(kx pi x/Lx) cos(ky pi y/Ly) ~ -(kx^2+ky^2) pi^2 * same
+    (ref test_2d_forward.py:155-173)."""
+    N = 64
+    op = make_spectral_op_2d(N, N, 1 / N, 1 / N)
+    x = np.linspace(0, 1, N + 1)
+    xx, yy = np.meshgrid(x, x, indexing="ij")
+    v = np.cos(2 * np.pi * xx) * np.cos(3 * np.pi * yy)
+    lam = -(4 + 9) * np.pi ** 2
+    got = np.asarray(apply_laplacian_2d(op.Lx, op.Ly, jnp.asarray(v)))
+    assert np.abs(got - lam * v).max() / abs(lam) < 2e-3
+
+
+def test_init_phi_random_zero_mean_and_bounds():
+    phi0 = init_phi_random_2d(32, 32, DELTA_SEP, amp=0.1, seed=42)
+    wts = np.outer(trapz_weights(33), trapz_weights(33))
+    assert abs(np.sum(wts * phi0)) < 1e-12 * np.sum(wts)
+    assert np.abs(phi0).max() <= 1.0 - DELTA_SEP
+
+
+def test_solve_w_2d_shapes():
+    rng = np.random.default_rng(0)
+    w = rng.standard_normal((17, 19))
+    u = rng.standard_normal((17, 19))
+    out = np.asarray(solve_w(jnp.asarray(w), 1e-2, 10.0, jnp.asarray(u),
+                             jnp.asarray(u)))
+    gd = 10.0 / 1e-2
+    assert np.allclose(out, ((gd - 0.5) * w + u) / (gd + 0.5), atol=1e-14)
+
+
+def test_mass_conservation_2d(solver):
+    phi_hist, _, _ = solver.simulate()
+    phi_hist = np.asarray(phi_hist)
+    wts_h = solver._wts_h
+    masses = np.einsum("tij,ij->t", phi_hist, wts_h)
+    assert np.abs(masses - masses[0]).max() < 1e-11
+
+
+def test_energy_monotone_decrease_2d(solver):
+    phi_hist, _, _ = solver.simulate()
+    cfg = solver.config
+    E = np.asarray(free_energy_2d(jnp.asarray(phi_hist), cfg.kappa, cfg.c1,
+                                  cfg.c2, solver.hx, solver.hy,
+                                  eps=0.5 * DELTA_SEP))
+    assert np.diff(E).max() <= 1e-9
+
+
+def test_large_dt_stability_2d():
+    s = ForwardSolver2D(ForwardSolverConfig2D(Nx=16, Ny=16, T=1.0,
+                                              dt_initial=0.5))
+    phi = np.asarray(s.simulate()[0])
+    assert np.all(np.isfinite(phi))
+    assert np.abs(phi).max() <= 1.0 - DELTA_SEP + 1e-12
+
+
+def test_linear_stability_growth_rate():
+    """Growth of a single unstable mode matches the dispersion relation
+    lambda = (k^2 (2c2 - 2c1 - kappa k^2)) / (1 + tau k^2) to ~1%
+    (ref test_2d_forward.py:371-401)."""
+    N = 32
+    cfg = ForwardSolverConfig2D(Nx=N, Ny=N, T=0.02, dt_initial=1e-4,
+                                newton_tol=1e-10)
+    s = ForwardSolver2D(cfg)
+    x = np.linspace(0, 1, N + 1)
+    xx, _ = np.meshgrid(x, x, indexing="ij")
+    k = 2 * np.pi  # mode (1, 0)
+    eps0 = 1e-5
+    phi0 = eps0 * np.cos(k * xx)
+    phi_hist, _, t_hist = s.simulate(initial_phi=phi0)
+    phi_hist = np.asarray(phi_hist)
+    amp = np.abs(phi_hist[:, :, 0] @ np.cos(k * x)) * 2 / N  # mode projection
+    lam_num = np.polyfit(t_hist[1:], np.log(amp[1:]), 1)[0]
+    q = k ** 2
+    lam_th = (q * (2 * cfg.c2 - 2 * cfg.c1 - cfg.kappa * q)) / (1 + cfg.tau * q)
+    assert abs(lam_num - lam_th) / abs(lam_th) < 0.02, (lam_num, lam_th)
+
+
+def test_newton_quadratic_convergence_2d(solver):
+    phi0 = solver.default_initial_phi()
+    w0 = np.zeros_like(phi0)
+    mu0 = np.asarray(solver.initialize_mu(jnp.asarray(phi0), jnp.asarray(w0)))
+    _, _, hist = solver.newton_residual_history(phi0, mu0, w0, w0,
+                                                solver.config.dt_initial)
+    assert len(hist) >= 2
+    assert hist[-1] < 1e-6
+    assert len(hist) < 12
+    tail = hist[1:]
+    assert all(tail[i + 1] <= tail[i] * (1 + 1e-12) for i in range(len(tail) - 1))
+
+
+def test_golden_trajectory_parity_2d(solver, golden_2d):
+    phi_hist, (x, y), t_hist = solver.simulate()
+    assert np.abs(np.asarray(t_hist) - golden_2d["t_hist"]).max() == 0.0
+    err = np.abs(np.asarray(phi_hist) - golden_2d["phi_hist"]).max()
+    assert err < 1e-9, err
+
+
+def test_initial_condition_bit_parity_2d(golden_2d):
+    phi0 = init_phi_random_2d(32, 32, DELTA_SEP, amp=0.1, seed=42)
+    assert np.array_equal(phi0, golden_2d["phi_hist"][0])

@@ -1,0 +1,222 @@
+"""Proximal gradient descent (ISTA) outer loop with optimistic step,
+backtracking line search, plateau detection, and alpha advisor.
+
+Re-architecture of the reference drivers (GD_1D.py:257-609,
+GD2_configured.py:231-441): the entire PGD iteration — adjoint sweep,
+smooth gradient, prox step, optimistic forward+cost, and the full
+backtracking search — is ONE jitted function; the Python host loop only
+handles logging, plateau/advisor heuristics, and the stopping test on
+scalars. The iteration function is pure jnp, so it vmaps across scenario
+batches and shards over a device mesh unchanged (parallel/).
+
+Semantics parity:
+  - optimistic step at alpha_prev, accept if cost decreases (GD_1D.py:365-384)
+  - else backtrack: 1D starts at alpha_prev, <=5 trials; 2D starts at
+    0.8*alpha_prev, <=10 trials; beta=0.8 both; on total failure the last
+    tried (worse) iterate is returned, with alpha already multiplied by beta
+    (GD_1D.py:73-113; GD2_configured.py:71-146, :324)
+  - alpha_prev <- min(alpha_max, 1.2*alpha_k); plateau boost 2.0x after 10
+    iters within 1e-7 (1D) / 1.5x after 5 iters within 1e-5 (2D)
+    (GD_1D.py:452-463; GD2_configured.py:365-373)
+  - convergence: relative control change < 1e-5 after >10 (1D) / >20 (2D)
+    iterations (GD_1D.py:466-473; GD2_configured.py:378)
+  - alpha advisor: mean of successful optimistic alphas after iter 100,
+    stability counter (GD_1D.py:388-404, :509-516)
+"""
+from __future__ import annotations
+
+import time
+from dataclasses import dataclass, field
+from typing import Callable, Optional
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from vch_tpu.config import OptimizationConfig
+from vch_tpu.control.prox import calculate_gradient, proximal_step
+
+
+@dataclass
+class PGDSettings:
+    """Line-search / heuristic constants that differ between 1D and 2D."""
+
+    ls_max_trials: int = 5
+    ls_beta: float = 0.8
+    ls_alpha_factor: float = 1.0      # backtracking starts at factor*alpha_prev
+    plateau_length: int = 10
+    plateau_tolerance: float = 1e-7
+    plateau_boost: float = 2.0
+    conv_tol: float = 1e-5
+    conv_min_iter: int = 10
+    advisor_start_iter: int = 100
+
+    @classmethod
+    def defaults_1d(cls) -> "PGDSettings":
+        return cls()
+
+    @classmethod
+    def defaults_2d(cls) -> "PGDSettings":
+        return cls(ls_max_trials=10, ls_alpha_factor=0.8, plateau_length=5,
+                   plateau_tolerance=1e-5, plateau_boost=1.5,
+                   conv_min_iter=20)
+
+
+@dataclass
+class PGDResult:
+    u_optimal: np.ndarray
+    r_optimal: np.ndarray
+    phi_final: np.ndarray
+    cost_history: list
+    alpha_history: list
+    tracking_err_history: list
+    terminal_err_history: list
+    iterations: int
+    converged: bool
+    timers: dict
+    ls_trials_per_iter: list
+    advisor_alpha: Optional[float] = None
+
+
+class ProximalGradientLoop:
+    """Dimension-agnostic PGD engine over user-supplied jnp callables.
+
+    forward:  u -> phi_hist           (pure jnp, jit-safe)
+    adjoint:  phi_hist -> r           (pure jnp)
+    cost:     (phi_hist, u) -> scalar (pure jnp)
+    error_norms: optional (phi_hist) -> (rel_tracking, rel_terminal)
+    """
+
+    def __init__(self, forward: Callable, adjoint: Callable, cost: Callable,
+                 opt_config: OptimizationConfig,
+                 settings: Optional[PGDSettings] = None,
+                 error_norms: Optional[Callable] = None):
+        self.forward = forward
+        self.adjoint = adjoint
+        self.cost = cost
+        self.opt = opt_config
+        self.s = settings or PGDSettings.defaults_1d()
+        self.error_norms = error_norms
+        self._iteration = jax.jit(self._iteration_impl)
+
+    def _iteration_impl(self, u_k, phi_k, cost_k, alpha_prev):
+        opt, s = self.opt, self.s
+        r_k = self.adjoint(phi_k)
+        grad = calculate_gradient(r_k, u_k, opt.b3)
+
+        def trial(alpha):
+            u_t = proximal_step(u_k, grad, alpha, opt.kappa_sparsity,
+                                opt.u_min, opt.u_max)
+            phi_t = self.forward(u_t)
+            return u_t, phi_t, self.cost(phi_t, u_t)
+
+        u_o, phi_o, c_o = trial(alpha_prev)
+        optimistic_ok = c_o < cost_k
+
+        def accept_optimistic(_):
+            return alpha_prev, u_o, phi_o, c_o, jnp.asarray(1, jnp.int32)
+
+        def backtrack(_):
+            alpha0 = alpha_prev * s.ls_alpha_factor
+
+            def cond(c):
+                return (~c[4]) & (c[5] < s.ls_max_trials)
+
+            def body(c):
+                alpha, _, _, _, _, j = c
+                u_t, phi_t, c_t = trial(alpha)
+                ok = c_t < cost_k
+                alpha_next = jnp.where(ok, alpha, alpha * s.ls_beta)
+                return (alpha_next, u_t, phi_t, c_t, ok, j + 1)
+
+            init = (alpha0, u_o, phi_o, c_o, jnp.asarray(False),
+                    jnp.asarray(0, jnp.int32))
+            alpha, u_b, phi_b, c_b, ok, j = jax.lax.while_loop(cond, body, init)
+            return alpha, u_b, phi_b, c_b, j + 1  # +1 counts the optimistic try
+
+        alpha_k, u_1, phi_1, c_1, n_trials = jax.lax.cond(
+            optimistic_ok, accept_optimistic, backtrack, None)
+
+        change = (jnp.linalg.norm(u_1 - u_k)
+                  / (jnp.linalg.norm(u_k) + 1e-9))
+        errs = (self.error_norms(phi_1) if self.error_norms is not None
+                else (jnp.asarray(0.0), jnp.asarray(0.0)))
+        return (u_1, phi_1, c_1, alpha_k, r_k, n_trials, change,
+                optimistic_ok, errs)
+
+    def run(self, u0, phi0_hist, max_iter: Optional[int] = None,
+            verbose: bool = True) -> PGDResult:
+        opt, s = self.opt, self.s
+        max_iter = max_iter if max_iter is not None else opt.max_iter
+
+        u_k = jnp.asarray(u0)
+        phi_k = jnp.asarray(phi0_hist)
+        cost_k = float(self.cost(phi_k, u_k))
+        alpha_prev = float(opt.alpha_max)
+
+        cost_history = [cost_k]
+        alpha_history, track_hist, term_hist, ls_trials = [], [], [], []
+        timers = {"total_optimization": 0.0, "backward_total": 0.0,
+                  "iteration_total": 0.0}
+        plateau_counter = 0
+        successful_optimistic_alphas: list = []
+        converged = False
+        r_k = jnp.zeros_like(u_k)
+        final_iters = max_iter
+
+        t_start = time.perf_counter()
+        for k in range(max_iter):
+            it0 = time.perf_counter()
+            (u_1, phi_1, c_1, alpha_k, r_k, n_trials, change, opt_ok,
+             (e_track, e_term)) = self._iteration(u_k, phi_k, cost_k,
+                                                  alpha_prev)
+            c_1 = float(c_1)
+            alpha_k = float(alpha_k)
+            change = float(change)
+            timers["iteration_total"] += time.perf_counter() - it0
+
+            cost_history.append(c_1)
+            alpha_history.append(alpha_k)
+            track_hist.append(float(e_track))
+            term_hist.append(float(e_term))
+            ls_trials.append(int(n_trials))
+
+            if bool(opt_ok) and k >= s.advisor_start_iter:
+                successful_optimistic_alphas.append(alpha_prev)
+
+            # plateau detection + alpha update
+            if k > 0 and abs(cost_history[-1] - cost_history[-2]) < s.plateau_tolerance:
+                plateau_counter += 1
+            else:
+                plateau_counter = 0
+            if plateau_counter >= s.plateau_length:
+                if verbose:
+                    print(f"[Notice] Cost plateaued for {plateau_counter} "
+                          f"iterations. Boosting learning rate.")
+                alpha_prev = min(opt.alpha_max, alpha_k * s.plateau_boost)
+                plateau_counter = 0
+            else:
+                alpha_prev = min(opt.alpha_max, alpha_k * 1.2)
+
+            if verbose:
+                print(f"iter {k+1:4d} | cost {c_1:.6f} | alpha {alpha_k:.4f} "
+                      f"| trials {int(n_trials)} | rel-du {change:.3e}")
+
+            u_k, phi_k, cost_k = u_1, phi_1, c_1
+            if change < s.conv_tol and k > s.conv_min_iter:
+                if verbose:
+                    print(f"Convergence reached at iteration {k+1}.")
+                converged = True
+                final_iters = k + 1
+                break
+
+        timers["total_optimization"] = time.perf_counter() - t_start
+        advisor = (float(np.mean(successful_optimistic_alphas))
+                   if successful_optimistic_alphas else None)
+        return PGDResult(
+            u_optimal=np.asarray(u_k), r_optimal=np.asarray(r_k),
+            phi_final=np.asarray(phi_k), cost_history=cost_history,
+            alpha_history=alpha_history, tracking_err_history=track_hist,
+            terminal_err_history=term_hist, iterations=final_iters,
+            converged=converged, timers=timers, ls_trials_per_iter=ls_trials,
+            advisor_alpha=advisor)

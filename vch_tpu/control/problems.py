@@ -1,0 +1,190 @@
+"""Problem assemblies: wire forward/adjoint/cost/targets into a PGD loop.
+
+These assemble the reference's driver setups (GD_1D.py __main__,
+GD2_configured.py __main__) as reusable objects: a baseline uncontrolled
+trajectory, targets, and jnp closures handed to ProximalGradientLoop.
+The 1D problem operates in the reference's history layout (duplicated t=0
+row, Forward_solver.py:329-337) so cost trajectories are directly
+comparable with reference runs.
+"""
+from __future__ import annotations
+
+from typing import Optional
+
+import numpy as np
+import jax.numpy as jnp
+
+from vch_tpu.config import ForwardSolverConfig1D, OptimizationConfig
+from vch_tpu.control.cost import calculate_cost_1d
+from vch_tpu.control.pgd import PGDSettings, ProximalGradientLoop
+from vch_tpu.control.targets import build_targets_1d
+from vch_tpu.models.adjoint1d import AdjointSolver1D
+from vch_tpu.models.forward1d import ForwardSolver1D
+
+
+class ControlProblem2D:
+    """Sparse optimal control of the 2D vCH system (ref: GD2_configured.py)."""
+
+    def __init__(self, fwd_config=None, opt_config: Optional[OptimizationConfig] = None,
+                 choice_t: int = 1, choice_q: int = 1,
+                 initial_phi: Optional[np.ndarray] = None):
+        from vch_tpu.config import ForwardSolverConfig2D
+        from vch_tpu.control.cost import calculate_cost_2d
+        from vch_tpu.control.targets import build_targets_2d
+        from vch_tpu.models.adjoint2d import AdjointSolver2D
+        from vch_tpu.models.forward2d import ForwardSolver2D
+
+        self.fwd_config = fwd_config or ForwardSolverConfig2D()
+        self.opt_config = opt_config or OptimizationConfig.defaults_2d()
+        self.solver = ForwardSolver2D(self.fwd_config)
+        self.adjoint = AdjointSolver2D(self.fwd_config)
+        dtype = self.solver.dtype
+
+        self.phi0 = (self.solver.default_initial_phi() if initial_phi is None
+                     else np.asarray(initial_phi, np.float64))
+        self._phi0_dev = jnp.asarray(self.phi0, dtype)
+
+        phi_hist, (x, y), t_hist = self.solver.simulate(initial_phi=self.phi0)
+        self.phi_hist0 = phi_hist
+        self.x, self.y, self.t_hist = x, y, t_hist
+        self._dts = jnp.asarray(np.diff(t_hist), dtype)
+
+        phi_T, phi_Q = build_targets_2d(
+            x, y, t_hist, np.asarray(phi_hist[0]), float(self.fwd_config.Lx),
+            float(self.fwd_config.Ly), float(self.fwd_config.T),
+            choice_t=choice_t, choice_q=choice_q)
+        self.phi_T_target = jnp.asarray(phi_T, dtype)
+        self.phi_Q_target = jnp.asarray(phi_Q, dtype)
+
+        opt = self.opt_config
+
+        def forward(u):
+            return self.solver._simulate_impl(u, self._phi0_dev)
+
+        def adjoint(phi_hist):
+            _, _, r = self.adjoint._run_impl(
+                phi_hist, self._dts, opt.b1, opt.b2, self.phi_Q_target,
+                self.phi_T_target)
+            return r
+
+        def cost(phi_hist, u):
+            return calculate_cost_2d(
+                phi_hist, u, self.phi_Q_target, self.phi_T_target,
+                jnp.asarray(x, dtype), jnp.asarray(y, dtype),
+                jnp.asarray(t_hist, dtype), opt.b1, opt.b2, opt.b3,
+                opt.kappa_sparsity)
+
+        def error_norms(phi_hist):
+            xj = jnp.asarray(x, dtype)
+            yj = jnp.asarray(y, dtype)
+            tj = jnp.asarray(t_hist, dtype)
+
+            def sp(a):
+                return jnp.trapezoid(jnp.trapezoid(a, x=yj, axis=-1),
+                                     x=xj, axis=-1)
+
+            def l2_xt(A):
+                return jnp.sqrt(jnp.trapezoid(sp(A ** 2), x=tj, axis=-1))
+
+            rms_scale = float(np.sqrt(max((x[-1] - x[0]) * (y[-1] - y[0]), 1e-30)
+                                      * max(t_hist[-1] - t_hist[0], 1e-30)))
+            numQ = l2_xt(phi_hist - self.phi_Q_target)
+            denQ = l2_xt(self.phi_Q_target)
+            denQ = jnp.where(denQ < 1e-9 * rms_scale, rms_scale, denQ)
+            rel_track = numQ / (denQ + 1e-12)
+            numT = jnp.sqrt(sp((phi_hist[..., -1, :, :] - self.phi_T_target) ** 2))
+            denT = jnp.sqrt(sp(self.phi_T_target ** 2)) + 1e-12
+            return rel_track, numT / denT
+
+        self.loop = ProximalGradientLoop(
+            forward, adjoint, cost, opt,
+            settings=PGDSettings.defaults_2d(), error_norms=error_norms)
+
+    def initial_control(self):
+        return jnp.zeros_like(self.phi_hist0)
+
+    def optimize(self, max_iter: Optional[int] = None, verbose: bool = True):
+        return self.loop.run(self.initial_control(), self.phi_hist0,
+                             max_iter=max_iter, verbose=verbose)
+
+
+class ControlProblem1D:
+    """Sparse optimal control of the 1D vCH system (ref: GD_1D.py)."""
+
+    def __init__(self, fwd_config: Optional[ForwardSolverConfig1D] = None,
+                 opt_config: Optional[OptimizationConfig] = None,
+                 choice_t: int = 1, choice_q: int = 1,
+                 initial_phi: Optional[np.ndarray] = None):
+        self.fwd_config = fwd_config or ForwardSolverConfig1D()
+        self.opt_config = opt_config or OptimizationConfig()
+        self.solver = ForwardSolver1D(self.fwd_config)
+        self.adjoint = AdjointSolver1D(self.fwd_config)
+        dtype = self.solver.dtype
+
+        self.phi0 = (self.solver.default_initial_phi() if initial_phi is None
+                     else np.asarray(initial_phi, np.float64))
+        self._phi0_dev = jnp.asarray(self.phi0, dtype)
+
+        # baseline (uncontrolled) trajectory in reference layout
+        phi_hist, x, t_hist = self.solver.simulate(
+            initial_phi=self.phi0, ref_layout=True)
+        self.phi_hist0 = phi_hist
+        self.x, self.t_hist = x, t_hist
+        self._dts = jnp.asarray(np.diff(t_hist), dtype)
+
+        phi_T, phi_Q = build_targets_1d(
+            x, t_hist, np.asarray(phi_hist[0]), float(self.fwd_config.Lx),
+            float(self.fwd_config.T), choice_t=choice_t, choice_q=choice_q)
+        self.phi_T_target = jnp.asarray(phi_T, dtype)
+        self.phi_Q_target = jnp.asarray(phi_Q, dtype)
+
+        opt = self.opt_config
+        M = self.solver.M
+
+        def forward(u_ref):
+            phi = self.solver._simulate_impl(u_ref[: M + 1], self._phi0_dev)
+            return jnp.concatenate([phi[:1], phi], axis=0)
+
+        def adjoint(phi_ref):
+            _, _, r = self.adjoint._run_impl(
+                phi_ref, self._dts, opt.b1, opt.b2, self.phi_Q_target,
+                self.phi_T_target)
+            return r
+
+        def cost(phi_ref, u_ref):
+            return calculate_cost_1d(
+                phi_ref, u_ref, self.phi_Q_target, self.phi_T_target,
+                jnp.asarray(x, dtype), jnp.asarray(t_hist, dtype),
+                opt.b1, opt.b2, opt.b3, opt.kappa_sparsity)
+
+        def error_norms(phi_ref):
+            xj = jnp.asarray(x, dtype)
+            tj = jnp.asarray(t_hist, dtype)
+
+            def l2_xt(A):
+                s = jnp.trapezoid(A ** 2, x=xj, axis=-1)
+                return jnp.sqrt(jnp.trapezoid(s, x=tj, axis=-1))
+
+            def l2_x(a):
+                return jnp.sqrt(jnp.trapezoid(a ** 2, x=xj, axis=-1))
+
+            rms_scale = float(np.sqrt(max(x[-1] - x[0], 1e-30)
+                                      * max(t_hist[-1] - t_hist[0], 1e-30)))
+            numQ = l2_xt(phi_ref - self.phi_Q_target)
+            denQ = l2_xt(self.phi_Q_target)
+            denQ = jnp.where(denQ < 1e-9 * rms_scale, rms_scale, denQ)
+            rel_track = numQ / (denQ + 1e-12)
+            numT = l2_x(phi_ref[..., -1, :] - self.phi_T_target)
+            denT = l2_x(self.phi_T_target) + 1e-12
+            return rel_track, numT / denT
+
+        self.loop = ProximalGradientLoop(
+            forward, adjoint, cost, opt,
+            settings=PGDSettings.defaults_1d(), error_norms=error_norms)
+
+    def initial_control(self):
+        return jnp.zeros_like(self.phi_hist0)
+
+    def optimize(self, max_iter: Optional[int] = None, verbose: bool = True):
+        return self.loop.run(self.initial_control(), self.phi_hist0,
+                             max_iter=max_iter, verbose=verbose)

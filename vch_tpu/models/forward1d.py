@@ -1,0 +1,254 @@
+"""1D viscous Cahn–Hilliard forward solver (Crank–Nicolson + Newton), TPU-native.
+
+Re-architecture of the reference's Python time loop + monolithic dense Newton
+(ref: Forward_solver.py:139-235, :286-397) as:
+
+  - a `lax.scan` over a statically precomputed dt schedule,
+  - Newton via `lax.while_loop` with convex–concave-split CN residuals,
+    per-component step ceiling, and Armijo backtracking on the residual norm
+    (eta=1e-3, up to 12 halvings; failure terminates the Newton loop, matching
+    Forward_solver.py:214-229),
+  - the Newton linear solve as an exact dense Schur-complement system in dphi
+    (ops/linsolve.py), batched-LU friendly,
+  - per-step clip into (-1+delta_sep, 1-delta_sep) and uniform mass projection
+    phi -= mass_error/Lx (Forward_solver.py:361-366).
+
+Semantics match the reference step-for-step; `simulate(..., ref_layout=True)`
+additionally reproduces the reference's duplicated t=0 history row
+(Forward_solver.py:329-337), so histories are drop-in comparable.
+"""
+from __future__ import annotations
+
+from functools import partial
+from typing import Optional
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from vch_tpu.config import DELTA_SEP, ForwardSolverConfig1D
+from vch_tpu.models.timegrid import build_dt_schedule, t_history
+from vch_tpu.ops.grids import grid_1d, trapz_weights
+from vch_tpu.ops.laplacian import laplacian_matrix_neumann
+from vch_tpu.ops.linsolve import newton_schur_solve_1d
+from vch_tpu.ops.potential import (
+    f_prime,
+    init_phi_random_1d,
+    regularized_log,
+)
+
+
+def solve_w(w_old, dt, gamma, u_n, u_np1):
+    """Closed-form CN update of the control filter gamma*w_t + w = u."""
+    gamma_dt = gamma / dt
+    return ((gamma_dt - 0.5) * w_old + 0.5 * (u_np1 + u_n)) / (gamma_dt + 0.5)
+
+
+def mu_residual(L, phi_new, phi_old, mu_new, mu_old, dt):
+    """CN residual of phi_t - Lap(mu) = 0."""
+    return (phi_new - phi_old) / dt - 0.5 * ((mu_new + mu_old) @ L.T)
+
+
+def phi_residual(L, phi_new, phi_old, mu_new, mu_old, w_new, w_old,
+                 dt, tau, c1, c2, kappa, delta_sep):
+    """CN residual of tau*phi_t - kappa*Lap(phi) + f'(phi) = mu + w
+    with convex(log, implicit)/concave(-2c2 phi, explicit) splitting."""
+    lap_avg = 0.5 * ((phi_new + phi_old) @ L.T)
+    f_cvx = c1 * regularized_log(phi_new, delta_sep)
+    f_ccv = -2.0 * c2 * phi_old
+    return (tau * (phi_new - phi_old) / dt - kappa * lap_avg
+            + f_cvx + f_ccv - 0.5 * (mu_new + mu_old) - 0.5 * (w_new + w_old))
+
+
+def _step_ceiling_1d(phi, dphi, delta_sep):
+    """Largest alpha keeping phi+alpha*dphi inside the open phase box.
+
+    Mirrors Forward_solver.py:192-212: per-sign min ratios, fallback 1.0 when
+    non-finite or <=0, then alpha = min(1, 0.9*alpha_max).
+    """
+    big = jnp.asarray(jnp.inf, phi.dtype)
+    ratio_pos = jnp.where(dphi > 0, (1.0 - delta_sep - phi) / dphi, big)
+    ratio_neg = jnp.where(dphi < 0, (-1.0 + delta_sep - phi) / dphi, big)
+    alpha_max = jnp.minimum(jnp.min(ratio_pos), jnp.min(ratio_neg))
+    bad = ~jnp.isfinite(alpha_max) | (alpha_max <= 0)
+    alpha_max = jnp.where(bad, 1.0, alpha_max)
+    return jnp.minimum(1.0, 0.9 * alpha_max)
+
+
+def newton_1d(L, phi_old, mu_old, w_old, w_new, dt, tau, c1, c2, kappa,
+              delta_sep, tol, max_iter, record_history: bool = False):
+    """Monolithic Newton on (phi, mu) via exact Schur solve.
+
+    Returns (phi, mu) or (phi, mu, residual_norms) with norms padded by NaN.
+    Replicates the reference's control flow: convergence test at the top,
+    step ceiling, Armijo with in-bounds guard, termination on line-search
+    failure (Forward_solver.py:139-235).
+    """
+    dtype = phi_old.dtype
+    resid = partial(_residual_norm_and_parts, L, phi_old, mu_old, w_new, w_old,
+                    dt, tau, c1, c2, kappa, delta_sep)
+    hist0 = jnp.full((max_iter + 1,), jnp.nan, dtype) if record_history else None
+
+    def armijo(phi, mu, dphi, dmu, norm_R):
+        eta = 1e-3
+        alpha0 = _step_ceiling_1d(phi, dphi, delta_sep)
+
+        def cond(c):
+            _, _, _, accepted, j = c
+            return (~accepted) & (j < 12)
+
+        def body(c):
+            alpha, phi_a, mu_a, _, j = c
+            phi_t = phi + alpha * dphi
+            mu_t = mu + alpha * dmu
+            in_bounds = jnp.all(jnp.abs(phi_t) < 1.0 - delta_sep)
+            norm_t, _, _ = resid(phi_t, mu_t)
+            accept = in_bounds & (norm_t <= (1.0 - eta * alpha) * norm_R)
+            phi_a = jnp.where(accept, phi_t, phi_a)
+            mu_a = jnp.where(accept, mu_t, mu_a)
+            alpha = jnp.where(accept, alpha, alpha * 0.5)
+            return (alpha, phi_a, mu_a, accept, j + 1)
+
+        init = (alpha0, phi, mu, jnp.asarray(False), jnp.asarray(0, jnp.int32))
+        _, phi_a, mu_a, accepted, _ = jax.lax.while_loop(cond, body, init)
+        return phi_a, mu_a, accepted
+
+    def cond(carry):
+        _, _, _, k, done = carry
+        return (~done) & (k < max_iter)
+
+    def body(carry):
+        phi, mu, hist, k, done = carry
+        norm_R, Rphi, Rmu = resid(phi, mu)
+        if record_history:
+            hist = hist.at[k].set(norm_R)
+        converged = norm_R < tol
+
+        def take_step(args):
+            phi, mu = args
+            dphi, dmu = newton_schur_solve_1d(L, phi, Rphi, Rmu, dt, tau, c1,
+                                              kappa, delta_sep)
+            phi_n, mu_n, accepted = armijo(phi, mu, dphi, dmu, norm_R)
+            return phi_n, mu_n, ~accepted  # line-search failure => terminate
+
+        phi_n, mu_n, failed = jax.lax.cond(
+            converged, lambda a: (a[0], a[1], jnp.asarray(False)),
+            take_step, (phi, mu))
+        return (phi_n, mu_n, hist, k + 1, converged | failed)
+
+    init = (phi_old, mu_old, hist0, jnp.asarray(0, jnp.int32),
+            jnp.asarray(False))
+    phi, mu, hist, _, _ = jax.lax.while_loop(cond, body, init)
+    if record_history:
+        return phi, mu, hist
+    return phi, mu
+
+
+def _residual_norm_and_parts(L, phi_old, mu_old, w_new, w_old, dt, tau, c1,
+                             c2, kappa, delta_sep, phi, mu):
+    Rphi = phi_residual(L, phi, phi_old, mu, mu_old, w_new, w_old,
+                        dt, tau, c1, c2, kappa, delta_sep)
+    Rmu = mu_residual(L, phi, phi_old, mu, mu_old, dt)
+    norm = jnp.sqrt(jnp.sum(Rphi * Rphi) + jnp.sum(Rmu * Rmu))
+    return norm, Rphi, Rmu
+
+
+class ForwardSolver1D:
+    """Jit-compiled 1D forward simulator with reference-compatible outputs."""
+
+    def __init__(self, config: Optional[ForwardSolverConfig1D] = None):
+        self.config = config or ForwardSolverConfig1D()
+        cfg = self.config
+        self.dtype = jnp.float64 if cfg.dtype == "float64" else jnp.float32
+        self.x, self.h, self._wts_h = grid_1d(cfg.N, cfg.Lx)
+        self._L_np = laplacian_matrix_neumann(cfg.N, self.h)
+        self.dts = build_dt_schedule(cfg.T, cfg.dt_initial)
+        self.t_hist = t_history(self.dts, cfg.T)
+        self.M = len(self.dts)
+        self._simulate = jax.jit(self._simulate_impl)
+
+    # -- initial state ----------------------------------------------------
+    def default_initial_phi(self) -> np.ndarray:
+        """Seed-42 Gaussian IC, bit-identical to Forward_solver.py:316."""
+        return init_phi_random_1d(self.config.N, DELTA_SEP, amp=0.01, seed=42)
+
+    def initialize_mu(self, phi, w):
+        cfg = self.config
+        L = jnp.asarray(self._L_np, self.dtype)
+        return (-cfg.kappa * (phi @ L.T)
+                + f_prime(phi, cfg.c1, cfg.c2, DELTA_SEP) - w)
+
+    # -- core jitted simulation ------------------------------------------
+    def _simulate_impl(self, u, phi0):
+        cfg = self.config
+        dtype = self.dtype
+        L = jnp.asarray(self._L_np, dtype)
+        wts_h = jnp.asarray(self._wts_h, dtype)
+        dts = jnp.asarray(self.dts, dtype)
+        tau, c1, c2 = cfg.tau, cfg.c1, cfg.c2
+        gamma, kappa = cfg.gamma, cfg.kappa
+
+        w0 = jnp.zeros_like(phi0)
+        mu0 = self.initialize_mu(phi0, w0)
+        m0 = jnp.dot(wts_h, phi0)
+
+        def step(carry, inp):
+            phi, mu, w = carry
+            u_n, u_np1, dt = inp
+            w_new = solve_w(w, dt, gamma, u_n, u_np1)
+            phi_new, mu_new = newton_1d(L, phi, mu, w, w_new, dt, tau, c1,
+                                        c2, kappa, DELTA_SEP, cfg.newton_tol,
+                                        cfg.newton_max_iter)
+            phi_c = jnp.clip(phi_new, -1.0 + DELTA_SEP, 1.0 - DELTA_SEP)
+            mass_error = jnp.dot(wts_h, phi_c) - m0
+            phi_c = phi_c - mass_error / cfg.Lx
+            return (phi_c, mu_new, w_new), phi_c
+
+        inputs = (u[:-1], u[1:], dts)
+        (_, _, _), phis = jax.lax.scan(step, (phi0, mu0, w0), inputs)
+        return jnp.concatenate([phi0[None], phis], axis=0)
+
+    # -- public API -------------------------------------------------------
+    def simulate(self, control: Optional[np.ndarray] = None,
+                 initial_phi: Optional[np.ndarray] = None,
+                 ref_layout: bool = False):
+        """Run the forward simulation.
+
+        control: step-aligned (M+1, N+1) array, or reference-layout
+            (M+2, N+1) (matching the duplicated-row history), or None.
+        Returns (phi_hist, x, t_hist); with ref_layout=True phi_hist/t_hist
+        include the reference's duplicated t=0 entry (shape (M+2, N+1)).
+        """
+        cfg = self.config
+        n = cfg.N + 1
+        if initial_phi is None:
+            phi0 = self.default_initial_phi()
+        else:
+            phi0 = np.asarray(initial_phi, dtype=np.float64)
+        if control is None:
+            u = jnp.zeros((self.M + 1, n), self.dtype)
+        else:
+            u = jnp.asarray(control, self.dtype)
+            if u.shape[0] == self.M + 2:      # reference layout: drop dup row
+                u = u[: self.M + 1]
+            assert u.shape == (self.M + 1, n), (
+                f"control must be (M+1, N+1) = ({self.M+1}, {n}); got {u.shape}")
+        phi_hist = self._simulate(u, jnp.asarray(phi0, self.dtype))
+        t_hist = self.t_hist
+        if ref_layout:
+            phi_hist = jnp.concatenate([phi_hist[:1], phi_hist], axis=0)
+            t_hist = np.concatenate([[0.0], t_hist])
+        return phi_hist, self.x, t_hist
+
+    def newton_residual_history(self, phi_old, mu_old, w_old, w_new, dt):
+        """Expose Newton residual norms for convergence-order tests
+        (ref API: Forward_solver.py return_residual_history)."""
+        cfg = self.config
+        L = jnp.asarray(self._L_np, self.dtype)
+        phi, mu, hist = newton_1d(
+            L, jnp.asarray(phi_old, self.dtype), jnp.asarray(mu_old, self.dtype),
+            jnp.asarray(w_old, self.dtype), jnp.asarray(w_new, self.dtype),
+            dt, cfg.tau, cfg.c1, cfg.c2, cfg.kappa, DELTA_SEP,
+            cfg.newton_tol, cfg.newton_max_iter, record_history=True)
+        hist = np.asarray(hist)
+        return phi, mu, list(hist[~np.isnan(hist)])

@@ -1,0 +1,193 @@
+"""Structured linear solvers for the Newton and adjoint systems.
+
+The reference solves the coupled (phi, mu) Newton system monolithically —
+dense LU on 2(N+1) unknowns in 1D (Forward_solver.py:185) and sparse LU
+(spsolve) on 2*Nloc unknowns in 2D (Forward2_solver.py:370) — and the adjoint
+march with dense/sparse LU per step (backward_solver.py:113-118,
+backward2_solver.py:226-231). Sparse LU does not exist on TPU; instead we
+exploit structure:
+
+Newton system (J from Forward_solver.py:111-137):
+    [Kpp  -I/2] [dphi]   [-Rphi]        Kpp = -(kappa/2) L + (tau/dt + D) I,
+    [I/dt -L/2] [dmu ] = [-Rmu ],       D = diag(2 c1/(1-phi^2)).
+Exact Schur elimination of dmu gives ONE system in dphi:
+    S dphi = L Rphi - Rmu,   S = (1/dt) I + (kappa/2) L^2 - (tau/dt) L - L D,
+    dmu = 2 (Kpp dphi + Rphi).
+
+Adjoint step operator (backward_solver.py:99-105):
+    A = I - tau L + (dt/2) L^2 - (dt/2) D_f L,   D_f = diag(f''(phi)).
+
+Both are {constant-coefficient polynomial in L} + {one diagonal-times-L term}.
+On the uniform Neumann grid L diagonalizes EXACTLY in the cosine basis
+(ops/laplacian.py), so:
+
+- 1D: form S densely ((N+1)^2, tiny) and use batched LU (jnp.linalg.solve) —
+  maps to MXU-backed batched linear algebra, exact parity with the reference.
+- 2D: matrix-free preconditioned BiCGStab. The operator apply is two Laplacian
+  applies (4 matmuls); the preconditioner replaces D by its mean dbar, which
+  makes it diagonal in the cosine basis: 4 matmuls + a pointwise divide.
+  All MXU work, batchable over scenarios via vmap.
+"""
+from __future__ import annotations
+
+from functools import partial
+from typing import Callable, NamedTuple
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from vch_tpu.ops.laplacian import (
+    laplacian_matrix_neumann,
+    neumann_eigendecomposition,
+    apply_laplacian_2d,
+)
+
+
+class SpectralOp2D(NamedTuple):
+    """Host-precomputed constants for 2D operators on a (Nx+1)x(Ny+1) grid."""
+
+    Lx: jnp.ndarray      # (Nx+1, Nx+1) Neumann Laplacian, x direction
+    Ly: jnp.ndarray      # (Ny+1, Ny+1)
+    Vx: jnp.ndarray      # cosine modes as columns
+    Vy: jnp.ndarray
+    Vx_inv: jnp.ndarray
+    Vy_inv: jnp.ndarray
+    lam: jnp.ndarray     # (Nx+1, Ny+1) lam_x[i] + lam_y[j] eigenvalue grid
+
+
+def make_spectral_op_2d(Nx: int, Ny: int, hx: float, hy: float,
+                        dtype=jnp.float64) -> SpectralOp2D:
+    Lx = laplacian_matrix_neumann(Nx, hx)
+    Ly = laplacian_matrix_neumann(Ny, hy)
+    lamx, Vx, Vx_inv = neumann_eigendecomposition(Nx, hx)
+    lamy, Vy, Vy_inv = neumann_eigendecomposition(Ny, hy)
+    lam = lamx[:, None] + lamy[None, :]
+    as_j = lambda a: jnp.asarray(a, dtype=dtype)
+    return SpectralOp2D(as_j(Lx), as_j(Ly), as_j(Vx), as_j(Vy),
+                        as_j(Vx_inv), as_j(Vy_inv), as_j(lam))
+
+
+def to_spectral(op: SpectralOp2D, v: jnp.ndarray) -> jnp.ndarray:
+    """Analysis transform: vhat = Vx^{-1} v Vy^{-T} (2 matmuls)."""
+    return jnp.einsum("ab,...bj->...aj", op.Vx_inv, v) @ op.Vy_inv.T
+
+
+def from_spectral(op: SpectralOp2D, vhat: jnp.ndarray) -> jnp.ndarray:
+    """Synthesis transform: v = Vx vhat Vy^T (2 matmuls)."""
+    return jnp.einsum("ab,...bj->...aj", op.Vx, vhat) @ op.Vy.T
+
+
+def spectral_poly_solve(op: SpectralOp2D, denom_of_lam: Callable, rhs: jnp.ndarray):
+    """Exactly solve P v = rhs where P = poly(L) is diagonal in the cosine basis.
+
+    denom_of_lam maps the eigenvalue grid lam -> the scalar symbol of P.
+    """
+    return from_spectral(op, to_spectral(op, rhs) / denom_of_lam(op.lam))
+
+
+def bicgstab(apply_A: Callable, b: jnp.ndarray, apply_M: Callable,
+             tol: float, max_iter: int, x0: jnp.ndarray | None = None):
+    """Right-preconditioned BiCGStab, jit/vmap-safe (fixed-bound while_loop).
+
+    Solves A x = b with preconditioner application apply_M ~= A^{-1}.
+    Written out rather than using jax.scipy so the convergence policy,
+    dtype behavior, and batching semantics are fully ours. Returns x.
+    """
+    dtype = b.dtype
+    x = jnp.zeros_like(b) if x0 is None else x0
+    r = b - apply_A(x)
+    rhat = r
+    dot = lambda a, c: jnp.sum(a * c)
+    b_norm = jnp.sqrt(dot(b, b))
+    atol2 = (tol * jnp.maximum(b_norm, 1e-300)) ** 2
+    eps_div = jnp.asarray(1e-300 if dtype == jnp.float64 else 1e-30, dtype)
+
+    def cond(carry):
+        x, r, p, v, rho, alpha, omega, k = carry
+        return (dot(r, r) > atol2) & (k < max_iter)
+
+    def body(carry):
+        x, r, p, v, rho, alpha, omega, k = carry
+        rho_new = dot(rhat, r)
+        beta = (rho_new / (rho + eps_div)) * (alpha / (omega + eps_div))
+        p = r + beta * (p - omega * v)
+        phat = apply_M(p)
+        v = apply_A(phat)
+        alpha = rho_new / (dot(rhat, v) + eps_div)
+        s = r - alpha * v
+        shat = apply_M(s)
+        t = apply_A(shat)
+        omega = dot(t, s) / (dot(t, t) + eps_div)
+        x = x + alpha * phat + omega * shat
+        r = s - omega * t
+        return (x, r, p, v, rho_new, alpha, omega, k + 1)
+
+    one = jnp.asarray(1.0, dtype)
+    init = (x, r, jnp.zeros_like(b), jnp.zeros_like(b), one, one, one,
+            jnp.asarray(0, jnp.int32))
+    out = jax.lax.while_loop(cond, body, init)
+    return out[0]
+
+
+# ---------------------------------------------------------------------------
+# 1D Newton Schur solve (dense, batched)
+# ---------------------------------------------------------------------------
+
+def newton_schur_solve_1d(L: jnp.ndarray, phi: jnp.ndarray,
+                          Rphi: jnp.ndarray, Rmu: jnp.ndarray,
+                          dt, tau: float, c1: float, kappa: float,
+                          delta_sep: float):
+    """Solve the coupled Newton system exactly via dense Schur elimination.
+
+    Returns (dphi, dmu), identical (to roundoff) to the reference's monolithic
+    np.linalg.solve on the 2(N+1) block system (Forward_solver.py:180-190).
+    """
+    n = phi.shape[-1]
+    dtype = phi.dtype
+    d = 2.0 * c1 / (1.0 - phi * phi)          # diagonal of D (|phi|<1 enforced)
+    I = jnp.eye(n, dtype=dtype)
+    # S = (1/dt) I + (kappa/2) L^2 - (tau/dt) L - L D
+    LD = L * d[None, :]                        # L @ diag(d)
+    S = (1.0 / dt) * I + (0.5 * kappa) * (L @ L) - (tau / dt) * L - LD
+    rhs = L @ Rphi - Rmu
+    dphi = jnp.linalg.solve(S, rhs)
+    Kpp_dphi = -(0.5 * kappa) * (L @ dphi) + (tau / dt + d) * dphi
+    dmu = 2.0 * (Kpp_dphi + Rphi)
+    return dphi, dmu
+
+
+# ---------------------------------------------------------------------------
+# 2D Newton Schur solve (matrix-free, spectral-preconditioned BiCGStab)
+# ---------------------------------------------------------------------------
+
+def newton_schur_solve_2d(op: SpectralOp2D, phi: jnp.ndarray,
+                          Rphi: jnp.ndarray, Rmu: jnp.ndarray,
+                          dt, tau: float, c1: float, kappa: float,
+                          delta_sep: float, tol: float = 1e-9,
+                          max_iter: int = 200):
+    """2D version of the exact Schur solve; fields are (Nx+1, Ny+1).
+
+    The Jacobian diagonal uses the reference's safety clip
+    phi^2 <= 1 - delta_sep^2 (Forward2_solver.py:243-244).
+    """
+    phi_sq = jnp.clip(phi * phi, 0.0, 1.0 - delta_sep * delta_sep)
+    d = 2.0 * c1 / (1.0 - phi_sq)
+    dbar = jnp.mean(d)
+    lap = partial(apply_laplacian_2d, op.Lx, op.Ly)
+
+    def apply_S(v):
+        # S v = (1/dt) v - L[ (tau/dt + d) v - (kappa/2) L v ]
+        u = (tau / dt + d) * v - 0.5 * kappa * lap(v)
+        return (1.0 / dt) * v - lap(u)
+
+    def apply_M(v):
+        # exact inverse of S with d replaced by its mean (cosine-diagonal)
+        denom = (1.0 / dt) + 0.5 * kappa * op.lam ** 2 - (tau / dt + dbar) * op.lam
+        return from_spectral(op, to_spectral(op, v) / denom)
+
+    rhs = lap(Rphi) - Rmu
+    dphi = bicgstab(apply_S, rhs, apply_M, tol=tol, max_iter=max_iter)
+    Kpp_dphi = -(0.5 * kappa) * lap(dphi) + (tau / dt + d) * dphi
+    dmu = 2.0 * (Kpp_dphi + Rphi)
+    return dphi, dmu
