@@ -1,0 +1,90 @@
+"""Headline benchmark: batched 2D PGD scenario-iterations per second.
+
+Prints ONE JSON line:
+  {"metric": "...", "value": N, "unit": "...", "vs_baseline": N}
+
+Metric (BASELINE.md primary): PGD outer iterations/s on the 2D vCH control
+problem, counted in SCENARIO-iterations (batch members x PGD iterations) per
+second on one chip. The baseline is the reference NumPy/SciPy implementation
+measured on CPU at the same grid/horizon (BASELINE_MEASURED.json, produced by
+scripts/ref_baseline_2d.py running the actual reference code): it processes
+1/pgd_iter_s_mean scenario-iterations per second (single scenario, its only
+mode). vs_baseline = ours / reference.
+
+Env overrides: VCH_BENCH_N (grid, default 64), VCH_BENCH_BATCH (default 16),
+VCH_BENCH_ITERS (default 3), VCH_BENCH_DTYPE (default float32 on TPU).
+"""
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+
+def main():
+    import jax
+
+    N = int(os.environ.get("VCH_BENCH_N", "64"))
+    B = int(os.environ.get("VCH_BENCH_BATCH", "16"))
+    iters = int(os.environ.get("VCH_BENCH_ITERS", "3"))
+    on_tpu = jax.default_backend() != "cpu"
+    dtype = os.environ.get("VCH_BENCH_DTYPE",
+                           "float32" if on_tpu else "float64")
+    if dtype == "float64":
+        jax.config.update("jax_enable_x64", True)
+
+    from vch_tpu.config import ForwardSolverConfig2D
+    from vch_tpu.parallel.batch import BatchedProblem2D, sweep_2d
+
+    cfg = ForwardSolverConfig2D(
+        Nx=N, Ny=N, T=1.0, dtype=dtype,
+        newton_tol=2e-4 if dtype == "float32" else 1e-6)
+    prob = BatchedProblem2D(cfg)
+    b3s = np.linspace(5e-5, 2e-4, max(1, B // 4))
+    kss = np.linspace(5e-5, 2e-4, 4)[: max(1, min(4, B))]
+    sc = sweep_2d(cfg, b3_values=b3s, kappa_values=kss)
+    # trim/pad to exactly B
+    import dataclasses
+    reps = -(-B // sc.batch)
+    tile = lambda a: np.concatenate([a] * reps, axis=0)[:B]
+    sc = dataclasses.replace(
+        sc, phi0=tile(sc.phi0), phi_T=tile(sc.phi_T), phi_Q=tile(sc.phi_Q),
+        b1=tile(sc.b1), b2=tile(sc.b2), b3=tile(sc.b3),
+        kappa_spar=tile(sc.kappa_spar))
+
+    # warmup (compile + 1 iteration)
+    prob.run(sc, max_iter=1, verbose=False)
+    t0 = time.perf_counter()
+    out = prob.run(sc, max_iter=iters, verbose=False)
+    elapsed = time.perf_counter() - t0
+    assert np.all(np.isfinite(out["cost_history"]))
+    assert (out["cost_history"][-1] < out["cost_history"][0] + 1e-9).all(), \
+        "costs did not descend"
+
+    value = B * iters / elapsed
+
+    baseline = None
+    try:
+        with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                               "BASELINE_MEASURED.json")) as f:
+            ref = json.load(f)
+        key = f"2d_n{N}"
+        if key in ref and ref[key].get("pgd_iter_s_mean"):
+            baseline = 1.0 / ref[key]["pgd_iter_s_mean"]
+    except Exception:
+        pass
+
+    result = {
+        "metric": f"pgd_scenario_iters_per_s_2d_{N}x{N}_b{B}_{dtype}",
+        "value": round(value, 4),
+        "unit": "scenario-iters/s",
+        "vs_baseline": (round(value / baseline, 2) if baseline else None),
+    }
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    sys.exit(main())

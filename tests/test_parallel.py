@@ -1,0 +1,76 @@
+"""Batched + sharded PGD tests on the 8-device virtual CPU mesh.
+
+No reference analog (the reference is single-process, SURVEY.md section 2.3);
+gates: batched runs agree with single-scenario runs, and mesh-sharded
+execution agrees with unsharded execution.
+"""
+import numpy as np
+import jax
+import pytest
+
+from vch_tpu.config import ForwardSolverConfig1D, ForwardSolverConfig2D, OptimizationConfig
+from vch_tpu.control.problems import ControlProblem1D
+from vch_tpu.parallel.batch import BatchedProblem1D, BatchedProblem2D, sweep_1d, sweep_2d
+from vch_tpu.parallel.mesh import make_mesh, shard_batch
+
+
+def test_eight_virtual_devices():
+    assert len(jax.devices()) == 8
+
+
+def test_batched_1d_matches_single_scenario(golden_1d):
+    """A batch whose members all equal the default scenario reproduces the
+    single-scenario (and hence reference) cost trajectory."""
+    cfg = ForwardSolverConfig1D()
+    prob = BatchedProblem1D(cfg)
+    sc = sweep_1d(cfg, OptimizationConfig(),
+                  b3_values=[0.0019, 0.0019], kappa_values=[9e-5])
+    out = prob.run(sc, max_iter=3, verbose=False)
+    ref = golden_1d["cost_traj"][:4]
+    for b in range(2):
+        rel = np.abs(out["cost_history"][:, b] - ref) / np.abs(ref)
+        assert rel.max() < 1e-8, rel
+
+
+def test_batched_1d_sweep_varies_sparsity():
+    """Higher kappa_spar must give sparser controls."""
+    cfg = ForwardSolverConfig1D(N=64, T=0.3)
+    prob = BatchedProblem1D(cfg)
+    sc = sweep_1d(cfg, OptimizationConfig(),
+                  b3_values=[0.0019], kappa_values=[1e-6, 5e-3])
+    out = prob.run(sc, max_iter=6, verbose=False)
+    sparsity = [np.mean(np.abs(out["u"][b]) < 1e-8) for b in range(2)]
+    assert sparsity[1] > sparsity[0]
+    assert (out["cost_history"][-1] <= out["cost_history"][0] + 1e-12).all()
+
+
+def test_batched_1d_sharded_matches_unsharded():
+    cfg = ForwardSolverConfig1D(N=64, T=0.2)
+    sc = sweep_1d(cfg, OptimizationConfig(),
+                  b3_values=[1e-3, 2e-3, 3e-3, 4e-3],
+                  kappa_values=[1e-5, 1e-4])
+    out_plain = BatchedProblem1D(cfg).run(sc, max_iter=3, verbose=False)
+    mesh = make_mesh()
+    sc2 = sweep_1d(cfg, OptimizationConfig(),
+                   b3_values=[1e-3, 2e-3, 3e-3, 4e-3],
+                   kappa_values=[1e-5, 1e-4])
+    out_mesh = BatchedProblem1D(cfg, mesh=mesh).run(sc2, max_iter=3,
+                                                    verbose=False)
+    assert np.allclose(out_plain["cost_history"], out_mesh["cost_history"],
+                       rtol=1e-10)
+    assert np.allclose(out_plain["u"], out_mesh["u"], atol=1e-10)
+
+
+def test_batched_2d_runs_and_descends():
+    cfg = ForwardSolverConfig2D(Nx=16, Ny=16, T=0.1)
+    prob = BatchedProblem2D(cfg, mesh=make_mesh())
+    sc = sweep_2d(cfg, b3_values=[1e-4, 2e-4], kappa_values=[1e-4])
+    out = prob.run(sc, max_iter=2, verbose=False)
+    assert (out["cost_history"][-1] < out["cost_history"][0]).all()
+
+
+def test_shard_batch_places_on_mesh():
+    mesh = make_mesh()
+    x = np.zeros((8, 4))
+    (y,) = shard_batch((x,), mesh)
+    assert len(set(d.id for d in y.devices())) == 8

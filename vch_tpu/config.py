@@ -27,6 +27,7 @@ class _SolverKnobs(BaseModel):
 
     dtype: str = Field("float64", description="Solver dtype: float64 (parity) or float32 (TPU speed)")
     newton_tol: float = Field(1e-6, gt=0, description="Newton residual L2 tolerance (ref: Forward_solver.py:143)")
+    newton_rtol: float = Field(1e-5, ge=0, description="Newton tolerance relative to the step's initial residual; active in float32 where the absolute tol can sit below the noise floor")
     newton_max_iter: int = Field(50, gt=0, description="Max Newton iterations per step")
     krylov_tol: float = Field(1e-9, gt=0, description="Relative tolerance of the inner Krylov solve (2D)")
     krylov_max_iter: int = Field(200, gt=0, description="Max inner Krylov iterations (2D)")

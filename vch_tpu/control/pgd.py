@@ -62,6 +62,44 @@ class PGDSettings:
                    conv_min_iter=20)
 
 
+def optimistic_backtracking_search(trial, cost_k, alpha_prev, s: PGDSettings):
+    """One PGD step-size search: optimistic trial at alpha_prev, then
+    backtracking (GD_1D.py:365-418 semantics). `trial(alpha) -> (u, phi, cost)`
+    must be pure jnp. Returns (alpha_k, u1, phi1, c1, n_trials, optimistic_ok).
+
+    Shared by the single-scenario loop and the vmapped batched runner (where
+    lax.cond lowers to a select and the while_loop runs to the max trial
+    count across the batch).
+    """
+    u_o, phi_o, c_o = trial(alpha_prev)
+    optimistic_ok = c_o < cost_k
+
+    def accept_optimistic(_):
+        return alpha_prev, u_o, phi_o, c_o, jnp.asarray(1, jnp.int32)
+
+    def backtrack(_):
+        alpha0 = alpha_prev * s.ls_alpha_factor
+
+        def cond(c):
+            return (~c[4]) & (c[5] < s.ls_max_trials)
+
+        def body(c):
+            alpha, _, _, _, _, j = c
+            u_t, phi_t, c_t = trial(alpha)
+            ok = c_t < cost_k
+            alpha_next = jnp.where(ok, alpha, alpha * s.ls_beta)
+            return (alpha_next, u_t, phi_t, c_t, ok, j + 1)
+
+        init = (alpha0, u_o, phi_o, c_o, jnp.asarray(False),
+                jnp.asarray(0, jnp.int32))
+        alpha, u_b, phi_b, c_b, ok, j = jax.lax.while_loop(cond, body, init)
+        return alpha, u_b, phi_b, c_b, j + 1  # +1 counts the optimistic try
+
+    alpha_k, u_1, phi_1, c_1, n_trials = jax.lax.cond(
+        optimistic_ok, accept_optimistic, backtrack, None)
+    return alpha_k, u_1, phi_1, c_1, n_trials, optimistic_ok
+
+
 @dataclass
 class PGDResult:
     u_optimal: np.ndarray
@@ -110,32 +148,8 @@ class ProximalGradientLoop:
             phi_t = self.forward(u_t)
             return u_t, phi_t, self.cost(phi_t, u_t)
 
-        u_o, phi_o, c_o = trial(alpha_prev)
-        optimistic_ok = c_o < cost_k
-
-        def accept_optimistic(_):
-            return alpha_prev, u_o, phi_o, c_o, jnp.asarray(1, jnp.int32)
-
-        def backtrack(_):
-            alpha0 = alpha_prev * s.ls_alpha_factor
-
-            def cond(c):
-                return (~c[4]) & (c[5] < s.ls_max_trials)
-
-            def body(c):
-                alpha, _, _, _, _, j = c
-                u_t, phi_t, c_t = trial(alpha)
-                ok = c_t < cost_k
-                alpha_next = jnp.where(ok, alpha, alpha * s.ls_beta)
-                return (alpha_next, u_t, phi_t, c_t, ok, j + 1)
-
-            init = (alpha0, u_o, phi_o, c_o, jnp.asarray(False),
-                    jnp.asarray(0, jnp.int32))
-            alpha, u_b, phi_b, c_b, ok, j = jax.lax.while_loop(cond, body, init)
-            return alpha, u_b, phi_b, c_b, j + 1  # +1 counts the optimistic try
-
-        alpha_k, u_1, phi_1, c_1, n_trials = jax.lax.cond(
-            optimistic_ok, accept_optimistic, backtrack, None)
+        alpha_k, u_1, phi_1, c_1, n_trials, optimistic_ok = (
+            optimistic_backtracking_search(trial, cost_k, alpha_prev, s))
 
         change = (jnp.linalg.norm(u_1 - u_k)
                   / (jnp.linalg.norm(u_k) + 1e-9))

@@ -107,6 +107,24 @@ class ControlProblem2D:
         return self.loop.run(self.initial_control(), self.phi_hist0,
                              max_iter=max_iter, verbose=verbose)
 
+    def verify_sparsity(self, result, verbose: bool = True):
+        from vch_tpu.control.diagnostics import verify_sparsity_condition
+        return verify_sparsity_condition(result.u_optimal, result.r_optimal,
+                                         self.opt_config.kappa_sparsity,
+                                         verbose=verbose)
+
+    def second_order_check(self, result, num_directions: int = 5,
+                           epsilon: float = 1e-4, seed: int = 42):
+        """Batched FD coercivity probe (2D cone: bound activity only,
+        ref second_order_conditions_2d.py:35-88)."""
+        from vch_tpu.control.diagnostics import approximate_second_order_condition
+        opt = self.opt_config
+        return approximate_second_order_condition(
+            self.loop.forward, self.loop.cost, result.u_optimal,
+            result.r_optimal, result.phi_final, opt.b3, opt.kappa_sparsity,
+            opt.u_min, opt.u_max, num_directions=num_directions,
+            epsilon=epsilon, seed=seed, handle_kink=False)
+
 
 class ControlProblem1D:
     """Sparse optimal control of the 1D vCH system (ref: GD_1D.py)."""
@@ -188,3 +206,21 @@ class ControlProblem1D:
     def optimize(self, max_iter: Optional[int] = None, verbose: bool = True):
         return self.loop.run(self.initial_control(), self.phi_hist0,
                              max_iter=max_iter, verbose=verbose)
+
+    def verify_sparsity(self, result, verbose: bool = True):
+        from vch_tpu.control.diagnostics import verify_sparsity_condition
+        return verify_sparsity_condition(result.u_optimal, result.r_optimal,
+                                         self.opt_config.kappa_sparsity,
+                                         verbose=verbose)
+
+    def second_order_check(self, result, num_directions: int = 3,
+                           epsilon: float = 1e-4, seed: int = 42):
+        """Batched FD coercivity probe (1D cone handles the L1 kink,
+        ref second_order_conditions.py:33-55)."""
+        from vch_tpu.control.diagnostics import approximate_second_order_condition
+        opt = self.opt_config
+        return approximate_second_order_condition(
+            self.loop.forward, self.loop.cost, result.u_optimal,
+            result.r_optimal, result.phi_final, opt.b3, opt.kappa_sparsity,
+            opt.u_min, opt.u_max, num_directions=num_directions,
+            epsilon=epsilon, seed=seed, handle_kink=True)

@@ -76,13 +76,20 @@ def _step_ceiling_1d(phi, dphi, delta_sep):
 
 
 def newton_1d(L, phi_old, mu_old, w_old, w_new, dt, tau, c1, c2, kappa,
-              delta_sep, tol, max_iter, record_history: bool = False):
+              delta_sep, tol, max_iter, record_history: bool = False,
+              rtol: float = 0.0, stagnation_exit: bool = False):
     """Monolithic Newton on (phi, mu) via exact Schur solve.
 
     Returns (phi, mu) or (phi, mu, residual_norms) with norms padded by NaN.
     Replicates the reference's control flow: convergence test at the top,
     step ceiling, Armijo with in-bounds guard, termination on line-search
     failure (Forward_solver.py:139-235).
+
+    Float32 robustness (no reference analog — the reference is f64-only):
+    rtol>0 adds a convergence test relative to the step's FIRST residual
+    norm, and stagnation_exit stops when an iteration fails to decrease the
+    norm — both prevent the loop from spinning to max_iter when the absolute
+    tol sits below the f32 noise floor.
     """
     dtype = phi_old.dtype
     resid = partial(_residual_norm_and_parts, L, phi_old, mu_old, w_new, w_old,
@@ -114,15 +121,21 @@ def newton_1d(L, phi_old, mu_old, w_old, w_new, dt, tau, c1, c2, kappa,
         return phi_a, mu_a, accepted
 
     def cond(carry):
-        _, _, _, k, done = carry
-        return (~done) & (k < max_iter)
+        return (~carry[4]) & (carry[3] < max_iter)
+
+    big = jnp.asarray(jnp.inf, dtype)
 
     def body(carry):
-        phi, mu, hist, k, done = carry
+        phi, mu, hist, k, done, norm0, prev_norm = carry
         norm_R, Rphi, Rmu = resid(phi, mu)
         if record_history:
             hist = hist.at[k].set(norm_R)
+        norm0 = jnp.where(k == 0, norm_R, norm0)
         converged = norm_R < tol
+        if rtol > 0:
+            converged = converged | (norm_R < rtol * norm0)
+        if stagnation_exit:
+            converged = converged | ((k > 0) & (norm_R >= prev_norm))
 
         def take_step(args):
             phi, mu = args
@@ -134,11 +147,11 @@ def newton_1d(L, phi_old, mu_old, w_old, w_new, dt, tau, c1, c2, kappa,
         phi_n, mu_n, failed = jax.lax.cond(
             converged, lambda a: (a[0], a[1], jnp.asarray(False)),
             take_step, (phi, mu))
-        return (phi_n, mu_n, hist, k + 1, converged | failed)
+        return (phi_n, mu_n, hist, k + 1, converged | failed, norm0, norm_R)
 
     init = (phi_old, mu_old, hist0, jnp.asarray(0, jnp.int32),
-            jnp.asarray(False))
-    phi, mu, hist, _, _ = jax.lax.while_loop(cond, body, init)
+            jnp.asarray(False), big, big)
+    phi, mu, hist, _, _, _, _ = jax.lax.while_loop(cond, body, init)
     if record_history:
         return phi, mu, hist
     return phi, mu
@@ -165,6 +178,9 @@ class ForwardSolver1D:
         self.dts = build_dt_schedule(cfg.T, cfg.dt_initial)
         self.t_hist = t_history(self.dts, cfg.T)
         self.M = len(self.dts)
+        # f32 robustness: relative tol + stagnation exit (see newton_1d)
+        self._rtol = 0.0 if self.dtype == jnp.float64 else cfg.newton_rtol
+        self._stagnation = self.dtype != jnp.float64
         self._simulate = jax.jit(self._simulate_impl)
 
     # -- initial state ----------------------------------------------------
@@ -198,7 +214,8 @@ class ForwardSolver1D:
             w_new = solve_w(w, dt, gamma, u_n, u_np1)
             phi_new, mu_new = newton_1d(L, phi, mu, w, w_new, dt, tau, c1,
                                         c2, kappa, DELTA_SEP, cfg.newton_tol,
-                                        cfg.newton_max_iter)
+                                        cfg.newton_max_iter, rtol=self._rtol,
+                                        stagnation_exit=self._stagnation)
             phi_c = jnp.clip(phi_new, -1.0 + DELTA_SEP, 1.0 - DELTA_SEP)
             mass_error = jnp.dot(wts_h, phi_c) - m0
             phi_c = phi_c - mass_error / cfg.Lx
@@ -249,6 +266,7 @@ class ForwardSolver1D:
             L, jnp.asarray(phi_old, self.dtype), jnp.asarray(mu_old, self.dtype),
             jnp.asarray(w_old, self.dtype), jnp.asarray(w_new, self.dtype),
             dt, cfg.tau, cfg.c1, cfg.c2, cfg.kappa, DELTA_SEP,
-            cfg.newton_tol, cfg.newton_max_iter, record_history=True)
+            cfg.newton_tol, cfg.newton_max_iter, record_history=True,
+            rtol=self._rtol, stagnation_exit=self._stagnation)
         hist = np.asarray(hist)
         return phi, mu, list(hist[~np.isnan(hist)])

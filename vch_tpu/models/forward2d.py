@@ -64,8 +64,12 @@ def _step_ceiling_2d(phi, dphi, delta_sep):
 
 def newton_2d(op, phi_old, mu_old, w_old, w_new, dt, tau, c1, c2, kappa,
               delta_sep, tol, max_iter, krylov_tol, krylov_max_iter,
-              mu_init, record_history: bool = False):
-    """2D monolithic Newton with best-trial-fallback Armijo."""
+              mu_init, record_history: bool = False,
+              rtol: float = 0.0, stagnation_exit: bool = False):
+    """2D monolithic Newton with best-trial-fallback Armijo.
+
+    rtol / stagnation_exit are the float32 robustness guards described in
+    forward1d.newton_1d (relative convergence + no-progress exit)."""
     dtype = phi_old.dtype
 
     def resid(phi, mu):
@@ -112,15 +116,21 @@ def newton_2d(op, phi_old, mu_old, w_old, w_new, dt, tau, c1, c2, kappa,
         return phi_out, mu_out
 
     def cond(carry):
-        _, _, _, k, done = carry
-        return (~done) & (k < max_iter)
+        return (~carry[4]) & (carry[3] < max_iter)
+
+    bignorm = jnp.asarray(jnp.inf, dtype)
 
     def body(carry):
-        phi, mu, hist, k, done = carry
+        phi, mu, hist, k, done, norm0, prev_norm = carry
         norm_R, Rphi, Rmu = resid(phi, mu)
         if record_history:
             hist = hist.at[k].set(norm_R)
+        norm0 = jnp.where(k == 0, norm_R, norm0)
         converged = norm_R < tol
+        if rtol > 0:
+            converged = converged | (norm_R < rtol * norm0)
+        if stagnation_exit:
+            converged = converged | ((k > 0) & (norm_R >= prev_norm))
 
         def take_step(args):
             phi, mu = args
@@ -130,11 +140,11 @@ def newton_2d(op, phi_old, mu_old, w_old, w_new, dt, tau, c1, c2, kappa,
             return armijo(phi, mu, dphi, dmu, norm_R)
 
         phi_n, mu_n = jax.lax.cond(converged, lambda a: a, take_step, (phi, mu))
-        return (phi_n, mu_n, hist, k + 1, converged)
+        return (phi_n, mu_n, hist, k + 1, converged, norm0, norm_R)
 
     init = (phi_old, mu_init, hist0, jnp.asarray(0, jnp.int32),
-            jnp.asarray(False))
-    phi, mu, hist, _, _ = jax.lax.while_loop(cond, body, init)
+            jnp.asarray(False), bignorm, bignorm)
+    phi, mu, hist, _, _, _, _ = jax.lax.while_loop(cond, body, init)
     if record_history:
         return phi, mu, hist
     return phi, mu
@@ -155,6 +165,8 @@ class ForwardSolver2D:
         # Krylov tolerance so BiCGStab exits instead of spinning to max_iter.
         self.krylov_tol = (cfg.krylov_tol if self.dtype == jnp.float64
                            else max(cfg.krylov_tol, 1e-6))
+        self._rtol = 0.0 if self.dtype == jnp.float64 else cfg.newton_rtol
+        self._stagnation = self.dtype != jnp.float64
         self.dts = build_dt_schedule(cfg.T, cfg.dt_initial)
         self.t_hist = t_history(self.dts, cfg.T)
         self.M = len(self.dts)
@@ -193,7 +205,8 @@ class ForwardSolver2D:
             phi_new, mu_new = newton_2d(
                 op, phi, mu, w, w_new, dt, tau, c1, c2, kappa, DELTA_SEP,
                 cfg.newton_tol, cfg.newton_max_iter, self.krylov_tol,
-                cfg.krylov_max_iter, mu_init)
+                cfg.krylov_max_iter, mu_init, rtol=self._rtol,
+                stagnation_exit=self._stagnation)
             phi_c = jnp.clip(phi_new, lo, hi)
             # interior-only mass correction (ref :564-577)
             mass_error = jnp.sum(wts_h * phi_c) - m0
@@ -239,6 +252,7 @@ class ForwardSolver2D:
             self.op, jnp.asarray(phi_old, d), jnp.asarray(mu_old, d),
             jnp.asarray(w_old, d), jnp.asarray(w_new, d), dt, cfg.tau, cfg.c1,
             cfg.c2, cfg.kappa, DELTA_SEP, cfg.newton_tol, cfg.newton_max_iter,
-            self.krylov_tol, cfg.krylov_max_iter, mu_init, record_history=True)
+            self.krylov_tol, cfg.krylov_max_iter, mu_init, record_history=True,
+            rtol=self._rtol, stagnation_exit=self._stagnation)
         hist = np.asarray(hist)
         return phi, mu, list(hist[~np.isnan(hist)])
