@@ -25,7 +25,17 @@ import numpy as np
 
 
 def main():
+    # persistent compilation cache: the nested scan/while programs are
+    # expensive to compile through the TPU compile service; cache them.
+    os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
+                          os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                       ".jax_cache"))
     import jax
+
+    try:
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
 
     N = int(os.environ.get("VCH_BENCH_N", "64"))
     B = int(os.environ.get("VCH_BENCH_BATCH", "16"))

@@ -31,6 +31,7 @@ class _SolverKnobs(BaseModel):
     newton_max_iter: int = Field(50, gt=0, description="Max Newton iterations per step")
     krylov_tol: float = Field(1e-9, gt=0, description="Relative tolerance of the inner Krylov solve (2D)")
     krylov_max_iter: int = Field(200, gt=0, description="Max inner Krylov iterations (2D)")
+    krylov_fixed_iters: int = Field(10, gt=0, description="Fixed Krylov trip count used on the float32/TPU path (compiles smaller, no convergence barrier; inexact Newton absorbs the slack)")
 
     @field_validator("dtype")
     @classmethod

@@ -67,37 +67,44 @@ def optimistic_backtracking_search(trial, cost_k, alpha_prev, s: PGDSettings):
     backtracking (GD_1D.py:365-418 semantics). `trial(alpha) -> (u, phi, cost)`
     must be pure jnp. Returns (alpha_k, u1, phi1, c1, n_trials, optimistic_ok).
 
-    Shared by the single-scenario loop and the vmapped batched runner (where
-    lax.cond lowers to a select and the while_loop runs to the max trial
-    count across the batch).
+    Implemented as ONE while_loop whose trial j uses
+        alpha_0 = alpha_prev                         (optimistic step)
+        alpha_j = alpha_prev * f * beta^(j-1), j>=1  (backtracking)
+    so the (expensive, full-forward-solve) `trial` is instantiated once in
+    the compiled program instead of once per branch — this halves XLA
+    compile time for the fused PGD iteration. Semantics are identical to the
+    reference, including returning the last (worse) iterate with alpha
+    already multiplied by beta when every trial fails (GD_1D.py:110-113).
+
+    Shared by the single-scenario loop and the vmapped batched runner (the
+    while_loop then runs to the max trial count across the batch, finished
+    members holding their state).
     """
-    u_o, phi_o, c_o = trial(alpha_prev)
-    optimistic_ok = c_o < cost_k
+    max_trials = 1 + s.ls_max_trials  # optimistic + backtracking budget
+    zero = jnp.zeros_like(cost_k)
+    a0 = alpha_prev + zero
+    u_shape, phi_shape, _ = jax.eval_shape(trial, a0)
+    u_init = jnp.zeros(u_shape.shape, u_shape.dtype)
+    phi_init = jnp.zeros(phi_shape.shape, phi_shape.dtype)
 
-    def accept_optimistic(_):
-        return alpha_prev, u_o, phi_o, c_o, jnp.asarray(1, jnp.int32)
+    def cond(c):
+        j, _, _, _, _, ok, _ = c
+        return (~ok) & (j < max_trials)
 
-    def backtrack(_):
-        alpha0 = alpha_prev * s.ls_alpha_factor
+    def body(c):
+        j, alpha, _, _, _, _, _ = c
+        u_t, phi_t, c_t = trial(alpha)
+        ok = c_t < cost_k
+        nxt = jnp.where(j == 0, alpha_prev * s.ls_alpha_factor,
+                        alpha * s.ls_beta)
+        alpha_report = jnp.where(ok, alpha, nxt)
+        return (j + 1, nxt, u_t, phi_t, c_t, ok, alpha_report)
 
-        def cond(c):
-            return (~c[4]) & (c[5] < s.ls_max_trials)
-
-        def body(c):
-            alpha, _, _, _, _, j = c
-            u_t, phi_t, c_t = trial(alpha)
-            ok = c_t < cost_k
-            alpha_next = jnp.where(ok, alpha, alpha * s.ls_beta)
-            return (alpha_next, u_t, phi_t, c_t, ok, j + 1)
-
-        init = (alpha0, u_o, phi_o, c_o, jnp.asarray(False),
-                jnp.asarray(0, jnp.int32))
-        alpha, u_b, phi_b, c_b, ok, j = jax.lax.while_loop(cond, body, init)
-        return alpha, u_b, phi_b, c_b, j + 1  # +1 counts the optimistic try
-
-    alpha_k, u_1, phi_1, c_1, n_trials = jax.lax.cond(
-        optimistic_ok, accept_optimistic, backtrack, None)
-    return alpha_k, u_1, phi_1, c_1, n_trials, optimistic_ok
+    init = (jnp.asarray(0, jnp.int32), a0, u_init, phi_init, cost_k,
+            jnp.asarray(False), a0)
+    j, _, u_1, phi_1, c_1, ok, alpha_k = jax.lax.while_loop(cond, body, init)
+    optimistic_ok = ok & (j == 1)
+    return alpha_k, u_1, phi_1, c_1, j, optimistic_ok
 
 
 @dataclass

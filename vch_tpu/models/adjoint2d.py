@@ -26,7 +26,7 @@ import jax.numpy as jnp
 
 from vch_tpu.config import ForwardSolverConfig2D
 from vch_tpu.ops.laplacian import apply_laplacian_2d
-from vch_tpu.ops.linsolve import bicgstab, make_spectral_op_2d, from_spectral, to_spectral
+from vch_tpu.ops.linsolve import bicgstab, bicgstab_fixed, make_spectral_op_2d, from_spectral, to_spectral
 from vch_tpu.ops.potential import fpp_log
 
 
@@ -43,6 +43,8 @@ class AdjointSolver2D:
         # see forward2d: f32 cannot resolve 1e-9 relative residuals
         self.krylov_tol = (cfg.krylov_tol if self.dtype == jnp.float64
                            else max(cfg.krylov_tol, 1e-6))
+        self._krylov_fixed = (None if self.dtype == jnp.float64
+                              else cfg.krylov_fixed_iters)
         self._run = jax.jit(self._run_impl)
 
     def _run_impl(self, phi_hist, dts, b1, b2, phi_Q, phi_T_target):
@@ -83,8 +85,12 @@ class AdjointSolver2D:
             def apply_M(v):
                 return from_spectral(op, to_spectral(op, v) / denom)
 
-            p_n = bicgstab(apply_A, rhs, apply_M, tol=self.krylov_tol,
-                           max_iter=cfg.krylov_max_iter, x0=p_next)
+            if self._krylov_fixed is not None:
+                p_n = bicgstab_fixed(apply_A, rhs, apply_M,
+                                     n_iter=self._krylov_fixed, x0=p_next)
+            else:
+                p_n = bicgstab(apply_A, rhs, apply_M, tol=self.krylov_tol,
+                               max_iter=cfg.krylov_max_iter, x0=p_next)
             q_n = -lap(p_n)
             den = gamma + 0.5 * dt
             r_n = ((gamma - 0.5 * dt) / den * r_next

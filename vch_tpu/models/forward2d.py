@@ -65,7 +65,8 @@ def _step_ceiling_2d(phi, dphi, delta_sep):
 def newton_2d(op, phi_old, mu_old, w_old, w_new, dt, tau, c1, c2, kappa,
               delta_sep, tol, max_iter, krylov_tol, krylov_max_iter,
               mu_init, record_history: bool = False,
-              rtol: float = 0.0, stagnation_exit: bool = False):
+              rtol: float = 0.0, stagnation_exit: bool = False,
+              krylov_fixed: int | None = None):
     """2D monolithic Newton with best-trial-fallback Armijo.
 
     rtol / stagnation_exit are the float32 robustness guards described in
@@ -136,7 +137,8 @@ def newton_2d(op, phi_old, mu_old, w_old, w_new, dt, tau, c1, c2, kappa,
             phi, mu = args
             dphi, dmu = newton_schur_solve_2d(
                 op, phi, Rphi, Rmu, dt, tau, c1, kappa, delta_sep,
-                tol=krylov_tol, max_iter=krylov_max_iter)
+                tol=krylov_tol, max_iter=krylov_max_iter,
+                fixed_iters=krylov_fixed)
             return armijo(phi, mu, dphi, dmu, norm_R)
 
         phi_n, mu_n = jax.lax.cond(converged, lambda a: a, take_step, (phi, mu))
@@ -167,6 +169,9 @@ class ForwardSolver2D:
                            else max(cfg.krylov_tol, 1e-6))
         self._rtol = 0.0 if self.dtype == jnp.float64 else cfg.newton_rtol
         self._stagnation = self.dtype != jnp.float64
+        # f32/TPU path: fixed-trip Krylov (smaller program, no barriers)
+        self._krylov_fixed = (None if self.dtype == jnp.float64
+                              else cfg.krylov_fixed_iters)
         self.dts = build_dt_schedule(cfg.T, cfg.dt_initial)
         self.t_hist = t_history(self.dts, cfg.T)
         self.M = len(self.dts)
@@ -206,7 +211,8 @@ class ForwardSolver2D:
                 op, phi, mu, w, w_new, dt, tau, c1, c2, kappa, DELTA_SEP,
                 cfg.newton_tol, cfg.newton_max_iter, self.krylov_tol,
                 cfg.krylov_max_iter, mu_init, rtol=self._rtol,
-                stagnation_exit=self._stagnation)
+                stagnation_exit=self._stagnation,
+                krylov_fixed=self._krylov_fixed)
             phi_c = jnp.clip(phi_new, lo, hi)
             # interior-only mass correction (ref :564-577)
             mass_error = jnp.sum(wts_h * phi_c) - m0
@@ -253,6 +259,7 @@ class ForwardSolver2D:
             jnp.asarray(w_old, d), jnp.asarray(w_new, d), dt, cfg.tau, cfg.c1,
             cfg.c2, cfg.kappa, DELTA_SEP, cfg.newton_tol, cfg.newton_max_iter,
             self.krylov_tol, cfg.krylov_max_iter, mu_init, record_history=True,
-            rtol=self._rtol, stagnation_exit=self._stagnation)
+            rtol=self._rtol, stagnation_exit=self._stagnation,
+            krylov_fixed=self._krylov_fixed)
         hist = np.asarray(hist)
         return phi, mu, list(hist[~np.isnan(hist)])

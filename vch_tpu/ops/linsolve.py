@@ -130,6 +130,47 @@ def bicgstab(apply_A: Callable, b: jnp.ndarray, apply_M: Callable,
     return out[0]
 
 
+def bicgstab_fixed(apply_A: Callable, b: jnp.ndarray, apply_M: Callable,
+                   n_iter: int, x0: jnp.ndarray | None = None):
+    """Fixed-trip-count BiCGStab (fori_loop, no convergence predicate).
+
+    The TPU execution path: a constant number of Krylov iterations compiles
+    to a much smaller program than the adaptive while_loop (no reduce+branch
+    per iteration) and runs without per-iteration convergence barriers. The
+    outer (inexact) Newton iteration absorbs residual inexactness — its
+    Armijo check and its own convergence test are on the TRUE nonlinear
+    residual. With the cosine-diagonal preconditioner the typical solve
+    converges in ~3 iterations, so n_iter ~ 8-16 is conservative.
+    """
+    dtype = b.dtype
+    x = jnp.zeros_like(b) if x0 is None else x0
+    r = b - apply_A(x)
+    rhat = r
+    dot = lambda a, c: jnp.sum(a * c)
+    eps_div = jnp.asarray(1e-300 if dtype == jnp.float64 else 1e-30, dtype)
+    one = jnp.asarray(1.0, dtype)
+
+    def body(_, carry):
+        x, r, p, v, rho, alpha, omega = carry
+        rho_new = dot(rhat, r)
+        beta = (rho_new / (rho + eps_div)) * (alpha / (omega + eps_div))
+        p = r + beta * (p - omega * v)
+        phat = apply_M(p)
+        v = apply_A(phat)
+        alpha = rho_new / (dot(rhat, v) + eps_div)
+        s = r - alpha * v
+        shat = apply_M(s)
+        t = apply_A(shat)
+        omega = dot(t, s) / (dot(t, t) + eps_div)
+        x = x + alpha * phat + omega * shat
+        r = s - omega * t
+        return (x, r, p, v, rho_new, alpha, omega)
+
+    init = (x, r, jnp.zeros_like(b), jnp.zeros_like(b), one, one, one)
+    out = jax.lax.fori_loop(0, n_iter, body, init)
+    return out[0]
+
+
 # ---------------------------------------------------------------------------
 # 1D Newton Schur solve (dense, batched)
 # ---------------------------------------------------------------------------
@@ -165,11 +206,13 @@ def newton_schur_solve_2d(op: SpectralOp2D, phi: jnp.ndarray,
                           Rphi: jnp.ndarray, Rmu: jnp.ndarray,
                           dt, tau: float, c1: float, kappa: float,
                           delta_sep: float, tol: float = 1e-9,
-                          max_iter: int = 200):
+                          max_iter: int = 200,
+                          fixed_iters: int | None = None):
     """2D version of the exact Schur solve; fields are (Nx+1, Ny+1).
 
     The Jacobian diagonal uses the reference's safety clip
     phi^2 <= 1 - delta_sep^2 (Forward2_solver.py:243-244).
+    fixed_iters selects the fixed-trip-count Krylov variant (TPU path).
     """
     phi_sq = jnp.clip(phi * phi, 0.0, 1.0 - delta_sep * delta_sep)
     d = 2.0 * c1 / (1.0 - phi_sq)
@@ -187,7 +230,10 @@ def newton_schur_solve_2d(op: SpectralOp2D, phi: jnp.ndarray,
         return from_spectral(op, to_spectral(op, v) / denom)
 
     rhs = lap(Rphi) - Rmu
-    dphi = bicgstab(apply_S, rhs, apply_M, tol=tol, max_iter=max_iter)
+    if fixed_iters is not None:
+        dphi = bicgstab_fixed(apply_S, rhs, apply_M, n_iter=fixed_iters)
+    else:
+        dphi = bicgstab(apply_S, rhs, apply_M, tol=tol, max_iter=max_iter)
     Kpp_dphi = -(0.5 * kappa) * lap(dphi) + (tau / dt + d) * dphi
     dmu = 2.0 * (Kpp_dphi + Rphi)
     return dphi, dmu
