@@ -119,3 +119,12 @@ def test_golden_adjoint_parity(golden_1d):
     assert np.abs(p - g["p"]).max() < 1e-7 * np.abs(g["p"]).max()
     assert np.abs(q - g["q"]).max() < 1e-7 * np.abs(g["q"]).max()
     assert np.abs(r - g["r"]).max() < 1e-7 * max(np.abs(g["r"]).max(), 1e-3)
+
+
+def test_spectral_adjoint_matches_golden(golden_1d):
+    """Matrix-free spectral adjoint path == dense path == reference."""
+    g = golden_1d
+    adj = AdjointSolver1D(ForwardSolverConfig1D(linsolve_1d="spectral"))
+    _, _, r = adj.run(g["phi_hist"], g["t_hist"], 0.3, 13.0,
+                      g["phi_Q_target"], g["phi_T_target"])
+    assert np.abs(np.asarray(r) - g["r"]).max() < 1e-8

@@ -134,3 +134,12 @@ def test_golden_trajectory_parity(solver, golden_1d):
 def test_initial_condition_bit_parity(golden_1d):
     phi0 = init_phi_random_1d(128, DELTA_SEP, amp=0.01, seed=42)
     assert np.array_equal(phi0, golden_1d["phi_hist"][0])
+
+
+def test_spectral_linsolve_matches_dense_and_golden(golden_1d):
+    """The matrix-free spectral 1D Newton path (linsolve_1d='spectral')
+    reproduces the same trajectory as the dense-LU parity path."""
+    s = ForwardSolver1D(ForwardSolverConfig1D(linsolve_1d="spectral"))
+    phi_hist, _, _ = s.simulate(ref_layout=True)
+    err = np.abs(np.asarray(phi_hist) - golden_1d["phi_hist"]).max()
+    assert err < 1e-9, err

@@ -1,0 +1,43 @@
+"""Grid-sharded (halo exchange) operator tests on the 8-device virtual mesh."""
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from vch_tpu.ops.laplacian import stencil_laplacian_2d
+from vch_tpu.ops.stability import dispersion_relation, instability_report
+from vch_tpu.parallel.mesh import make_mesh
+from vch_tpu.parallel.spatial import sharded_laplacian_2d
+
+
+def test_sharded_halo_laplacian_matches_unsharded():
+    mesh = make_mesh()
+    N = 127  # 128 rows over 8 shards
+    hx = hy = 1.0 / N
+    f = sharded_laplacian_2d(mesh, "scenarios", hx, hy)
+    rng = np.random.default_rng(0)
+    v = jnp.asarray(rng.standard_normal((N + 1, N + 1)))
+    got = np.asarray(f(v))
+    ref = np.asarray(stencil_laplacian_2d(v, hx, hy))
+    assert np.abs(got - ref).max() < 1e-12 * np.abs(ref).max()
+
+
+def test_sharded_laplacian_neumann_nullspace():
+    mesh = make_mesh()
+    f = sharded_laplacian_2d(mesh, "scenarios", 1 / 63, 1 / 63)
+    out = np.asarray(f(jnp.ones((64, 64))))
+    assert np.abs(out).max() == 0.0
+
+
+def test_instability_report_matches_test_formula():
+    """lambda(k) = (-kappa q^2 - a q)/(1+tau q) equals the growth-rate form
+    q(2c2-2c1-kappa q)/(1+tau q) used by the reference 2D test
+    (test_2d_forward.py:371-401)."""
+    c1, c2, kappa, tau = 0.75, 1.0, 1e-4, 0.05
+    k = np.pi * np.arange(1, 13)
+    lam = dispersion_relation(c1, c2, kappa, tau, k)
+    q = k ** 2
+    lam2 = q * (2 * c2 - 2 * c1 - kappa * q) / (1 + tau * q)
+    assert np.allclose(lam, lam2, rtol=1e-12)
+    rep = instability_report(c1, c2, kappa, tau, 1.0, verbose=False)
+    assert rep.shape == (12,)
+    assert (rep > 0).sum() > 0  # default params are spinodally unstable

@@ -32,12 +32,20 @@ class _SolverKnobs(BaseModel):
     krylov_tol: float = Field(1e-9, gt=0, description="Relative tolerance of the inner Krylov solve (2D)")
     krylov_max_iter: int = Field(200, gt=0, description="Max inner Krylov iterations (2D)")
     krylov_fixed_iters: int = Field(10, gt=0, description="Fixed Krylov trip count used on the float32/TPU path (compiles smaller, no convergence barrier; inexact Newton absorbs the slack)")
+    linsolve_1d: str = Field("auto", description="1D Newton/adjoint linear solver: 'dense' (exact LU, reference parity), 'spectral' (matrix-free cosine-preconditioned BiCGStab), or 'auto' (dense for f64 N<=256, spectral otherwise)")
 
     @field_validator("dtype")
     @classmethod
     def _check_dtype(cls, v: str) -> str:
         if v not in ("float32", "float64"):
             raise ValueError("dtype must be 'float32' or 'float64'")
+        return v
+
+    @field_validator("linsolve_1d")
+    @classmethod
+    def _check_linsolve(cls, v: str) -> str:
+        if v not in ("auto", "dense", "spectral"):
+            raise ValueError("linsolve_1d must be 'auto', 'dense', or 'spectral'")
         return v
 
 

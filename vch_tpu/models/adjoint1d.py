@@ -30,6 +30,7 @@ import jax.numpy as jnp
 
 from vch_tpu.config import ForwardSolverConfig1D
 from vch_tpu.ops.laplacian import laplacian_matrix_neumann
+from vch_tpu.ops.linsolve import bicgstab, bicgstab_fixed, make_spectral_op_1d
 from vch_tpu.ops.potential import fpp_log
 
 
@@ -42,6 +43,18 @@ class AdjointSolver1D:
         self.dtype = jnp.float64 if cfg.dtype == "float64" else jnp.float32
         self.h = cfg.Lx / cfg.N
         self._L_np = laplacian_matrix_neumann(cfg.N, self.h)
+        # dense per-step LU for parity-scale f64; matrix-free spectral
+        # BiCGStab otherwise (same rule as ForwardSolver1D)
+        self._use_spectral = (
+            cfg.linsolve_1d == "spectral"
+            or (cfg.linsolve_1d == "auto"
+                and (self.dtype != jnp.float64 or cfg.N > 256)))
+        self._op1d = (make_spectral_op_1d(cfg.N, self.h, self.dtype)
+                      if self._use_spectral else None)
+        self._krylov_fixed = (None if self.dtype == jnp.float64
+                              else cfg.krylov_fixed_iters)
+        self._krylov_tol = (cfg.krylov_tol if self.dtype == jnp.float64
+                            else max(cfg.krylov_tol, 1e-6))
         self._run = jax.jit(self._run_impl)
 
     def _run_impl(self, phi_hist, dts, b1, b2, phi_Q, phi_T_target):
@@ -52,9 +65,14 @@ class AdjointSolver1D:
         I = jnp.eye(L.shape[0], dtype=dtype)
         tau, gamma, c1, c2 = cfg.tau, cfg.gamma, cfg.c1, cfg.c2
 
-        # Terminal conditions
+        # Terminal conditions ((I - tau L): exact cosine-diagonal solve on
+        # the spectral path, dense solve on the parity path)
         rhs_T = b2 * (phi_hist[-1] - phi_T_target)
-        p_T = jnp.linalg.solve(I - tau * L, rhs_T)
+        if self._op1d is not None:
+            op = self._op1d
+            p_T = ((rhs_T @ op.Vinv.T) / (1.0 - tau * op.lam)) @ op.V.T
+        else:
+            p_T = jnp.linalg.solve(I - tau * L, rhs_T)
         q_T = -(p_T @ L.T)
         r_T = jnp.zeros_like(p_T)
 
@@ -66,13 +84,37 @@ class AdjointSolver1D:
 
             fpp_n = fpp_log(phi_n, c1, c2)
             fpp_np1 = fpp_log(phi_np1, c1, c2)
-            # A = I - tau L + (dt/2) L^2 - (dt/2) diag(fpp_n) L
-            A = I - tau * L + 0.5 * dt * L2 - 0.5 * dt * (fpp_n[:, None] * L)
             # B p = (I - tau L - (dt/2) L^2 + (dt/2) diag(fpp_np1) L) p
-            Bp = (p_next - tau * (p_next @ L.T) - 0.5 * dt * (p_next @ L2.T)
-                  + 0.5 * dt * fpp_np1 * (p_next @ L.T))
-            src = 0.5 * dt * b1 * (src_n + src_np1)
-            p_n = jnp.linalg.solve(A, Bp + src)
+            w1 = p_next @ L.T
+            Bp = (p_next - tau * w1 - 0.5 * dt * (w1 @ L.T)
+                  + 0.5 * dt * fpp_np1 * w1)
+            rhs = Bp + 0.5 * dt * b1 * (src_n + src_np1)
+            if self._op1d is not None:
+                op = self._op1d
+                fbar = jnp.mean(fpp_n)
+
+                def apply_A(v):
+                    w = v @ L.T
+                    return v - tau * w + 0.5 * dt * ((w @ L.T) - fpp_n * w)
+
+                denom = (1.0 - tau * op.lam + 0.5 * dt * op.lam ** 2
+                         - 0.5 * dt * fbar * op.lam)
+
+                def apply_M(v):
+                    return ((v @ op.Vinv.T) / denom) @ op.V.T
+
+                if self._krylov_fixed is not None:
+                    p_n = bicgstab_fixed(apply_A, rhs, apply_M,
+                                         n_iter=self._krylov_fixed, x0=p_next)
+                else:
+                    p_n = bicgstab(apply_A, rhs, apply_M,
+                                   tol=self._krylov_tol, max_iter=200,
+                                   x0=p_next)
+            else:
+                # A = I - tau L + (dt/2) L^2 - (dt/2) diag(fpp_n) L
+                A = (I - tau * L + 0.5 * dt * L2
+                     - 0.5 * dt * (fpp_n[:, None] * L))
+                p_n = jnp.linalg.solve(A, rhs)
             q_n = -(p_n @ L.T)
             denom = gamma + 0.5 * dt
             r_n = ((gamma - 0.5 * dt) / denom * r_next

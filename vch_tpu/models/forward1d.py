@@ -30,7 +30,8 @@ from vch_tpu.config import DELTA_SEP, ForwardSolverConfig1D
 from vch_tpu.models.timegrid import build_dt_schedule, t_history
 from vch_tpu.ops.grids import grid_1d, trapz_weights
 from vch_tpu.ops.laplacian import laplacian_matrix_neumann
-from vch_tpu.ops.linsolve import newton_schur_solve_1d
+from vch_tpu.ops.linsolve import (make_spectral_op_1d,
+    newton_schur_solve_1d, newton_schur_solve_1d_spectral)
 from vch_tpu.ops.potential import (
     f_prime,
     init_phi_random_1d,
@@ -77,7 +78,8 @@ def _step_ceiling_1d(phi, dphi, delta_sep):
 
 def newton_1d(L, phi_old, mu_old, w_old, w_new, dt, tau, c1, c2, kappa,
               delta_sep, tol, max_iter, record_history: bool = False,
-              rtol: float = 0.0, stagnation_exit: bool = False):
+              rtol: float = 0.0, stagnation_exit: bool = False,
+              spectral_op=None, krylov_fixed=None, krylov_tol: float = 1e-9):
     """Monolithic Newton on (phi, mu) via exact Schur solve.
 
     Returns (phi, mu) or (phi, mu, residual_norms) with norms padded by NaN.
@@ -139,8 +141,13 @@ def newton_1d(L, phi_old, mu_old, w_old, w_new, dt, tau, c1, c2, kappa,
 
         def take_step(args):
             phi, mu = args
-            dphi, dmu = newton_schur_solve_1d(L, phi, Rphi, Rmu, dt, tau, c1,
-                                              kappa, delta_sep)
+            if spectral_op is None:
+                dphi, dmu = newton_schur_solve_1d(L, phi, Rphi, Rmu, dt, tau,
+                                                  c1, kappa, delta_sep)
+            else:  # matrix-free path: large N / big batches / f32-TPU
+                dphi, dmu = newton_schur_solve_1d_spectral(
+                    spectral_op, phi, Rphi, Rmu, dt, tau, c1, kappa,
+                    delta_sep, tol=krylov_tol, fixed_iters=krylov_fixed)
             phi_n, mu_n, accepted = armijo(phi, mu, dphi, dmu, norm_R)
             return phi_n, mu_n, ~accepted  # line-search failure => terminate
 
@@ -181,6 +188,19 @@ class ForwardSolver1D:
         # f32 robustness: relative tol + stagnation exit (see newton_1d)
         self._rtol = 0.0 if self.dtype == jnp.float64 else cfg.newton_rtol
         self._stagnation = self.dtype != jnp.float64
+        # Linear-solve strategy: exact dense Schur LU for parity-scale f64
+        # runs; matrix-free spectral BiCGStab for f32/TPU or large N where
+        # batched (N+1)^3 LUs would dominate (BASELINE.md config 2).
+        self._use_spectral = (
+            cfg.linsolve_1d == "spectral"
+            or (cfg.linsolve_1d == "auto"
+                and (self.dtype != jnp.float64 or cfg.N > 256)))
+        self._op1d = (make_spectral_op_1d(cfg.N, self.h, self.dtype)
+                      if self._use_spectral else None)
+        self._krylov_fixed = (None if self.dtype == jnp.float64
+                              else cfg.krylov_fixed_iters)
+        self._krylov_tol = (cfg.krylov_tol if self.dtype == jnp.float64
+                            else max(cfg.krylov_tol, 1e-6))
         self._simulate = jax.jit(self._simulate_impl)
 
     # -- initial state ----------------------------------------------------
@@ -215,7 +235,10 @@ class ForwardSolver1D:
             phi_new, mu_new = newton_1d(L, phi, mu, w, w_new, dt, tau, c1,
                                         c2, kappa, DELTA_SEP, cfg.newton_tol,
                                         cfg.newton_max_iter, rtol=self._rtol,
-                                        stagnation_exit=self._stagnation)
+                                        stagnation_exit=self._stagnation,
+                                        spectral_op=self._op1d,
+                                        krylov_fixed=self._krylov_fixed,
+                                        krylov_tol=self._krylov_tol)
             phi_c = jnp.clip(phi_new, -1.0 + DELTA_SEP, 1.0 - DELTA_SEP)
             mass_error = jnp.dot(wts_h, phi_c) - m0
             phi_c = phi_c - mass_error / cfg.Lx
@@ -267,6 +290,8 @@ class ForwardSolver1D:
             jnp.asarray(w_old, self.dtype), jnp.asarray(w_new, self.dtype),
             dt, cfg.tau, cfg.c1, cfg.c2, cfg.kappa, DELTA_SEP,
             cfg.newton_tol, cfg.newton_max_iter, record_history=True,
-            rtol=self._rtol, stagnation_exit=self._stagnation)
+            rtol=self._rtol, stagnation_exit=self._stagnation,
+            spectral_op=self._op1d, krylov_fixed=self._krylov_fixed,
+            krylov_tol=self._krylov_tol)
         hist = np.asarray(hist)
         return phi, mu, list(hist[~np.isnan(hist)])

@@ -24,6 +24,7 @@ from vch_tpu.ops.potential import (
     init_phi_random_1d,
     init_phi_random_2d,
 )
+from vch_tpu.ops.stability import dispersion_relation, instability_report
 
 __all__ = [
     "trapz_weights", "grid_1d", "grid_2d",
@@ -33,4 +34,5 @@ __all__ = [
     "regularized_log", "f_prime", "fpp_log",
     "free_energy_1d", "free_energy_2d",
     "init_phi_random_1d", "init_phi_random_2d",
+    "dispersion_relation", "instability_report",
 ]

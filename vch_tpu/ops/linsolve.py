@@ -198,6 +198,62 @@ def newton_schur_solve_1d(L: jnp.ndarray, phi: jnp.ndarray,
     return dphi, dmu
 
 
+class SpectralOp1D(NamedTuple):
+    """Host-precomputed constants for 1D operators on an (N+1) grid."""
+
+    L: jnp.ndarray
+    V: jnp.ndarray
+    Vinv: jnp.ndarray
+    lam: jnp.ndarray
+
+
+def make_spectral_op_1d(N: int, h: float, dtype=jnp.float64) -> SpectralOp1D:
+    L = laplacian_matrix_neumann(N, h)
+    lam, V, Vinv = neumann_eigendecomposition(N, h)
+    as_j = lambda a: jnp.asarray(a, dtype=dtype)
+    return SpectralOp1D(as_j(L), as_j(V), as_j(Vinv), as_j(lam))
+
+
+def newton_schur_solve_1d_spectral(op: SpectralOp1D, phi: jnp.ndarray,
+                                   Rphi: jnp.ndarray, Rmu: jnp.ndarray,
+                                   dt, tau: float, c1: float, kappa: float,
+                                   delta_sep: float, tol: float = 1e-9,
+                                   max_iter: int = 100,
+                                   fixed_iters: int | None = None):
+    """Matrix-free 1D Schur solve — O(N^2) matmuls instead of O(N^3) LU.
+
+    Same system as newton_schur_solve_1d; preferred for large N and for
+    big scenario batches where a batched dense LU of (N+1)^2 systems per
+    Newton iteration dominates (BASELINE.md config 2: N=512 x 256
+    scenarios). The cosine-diagonal preconditioner is identical in spirit
+    to the 2D one.
+    """
+    d = 2.0 * c1 / (1.0 - phi * phi)
+    dbar = jnp.mean(d)
+    L = op.L
+
+    def lap(v):
+        return v @ L.T
+
+    def apply_S(v):
+        u = (tau / dt + d) * v - 0.5 * kappa * lap(v)
+        return (1.0 / dt) * v - lap(u)
+
+    denom = (1.0 / dt) + 0.5 * kappa * op.lam ** 2 - (tau / dt + dbar) * op.lam
+
+    def apply_M(v):
+        return ((v @ op.Vinv.T) / denom) @ op.V.T
+
+    rhs = lap(Rphi) - Rmu
+    if fixed_iters is not None:
+        dphi = bicgstab_fixed(apply_S, rhs, apply_M, n_iter=fixed_iters)
+    else:
+        dphi = bicgstab(apply_S, rhs, apply_M, tol=tol, max_iter=max_iter)
+    Kpp_dphi = -(0.5 * kappa) * lap(dphi) + (tau / dt + d) * dphi
+    dmu = 2.0 * (Kpp_dphi + Rphi)
+    return dphi, dmu
+
+
 # ---------------------------------------------------------------------------
 # 2D Newton Schur solve (matrix-free, spectral-preconditioned BiCGStab)
 # ---------------------------------------------------------------------------

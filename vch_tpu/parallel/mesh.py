@@ -37,6 +37,26 @@ def replicated_sharding(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
 
 
+def initialize_distributed(coordinator_address=None, num_processes=None,
+                           process_id=None):
+    """Multi-host bring-up for pod slices (BASELINE.md weak-scaling runs).
+
+    Wraps `jax.distributed.initialize`; with no arguments, TPU pod
+    environments auto-discover peers. After this, `make_mesh()` over
+    `jax.devices()` spans all hosts: the scenario axis crosses hosts via DCN
+    while per-host shards communicate over ICI. Safe to call on CPU-only
+    test environments (no-ops on failure).
+    """
+    try:
+        jax.distributed.initialize(coordinator_address=coordinator_address,
+                                   num_processes=num_processes,
+                                   process_id=process_id)
+        return True
+    except Exception as e:  # single-process / already initialized
+        print(f"[parallel] distributed init skipped: {e}")
+        return False
+
+
 def shard_batch(tree, mesh: Mesh):
     """Place every array in `tree` with its leading axis sharded over the mesh."""
     sh = batch_sharding(mesh)
