@@ -1,0 +1,114 @@
+"""Run the BASELINE.md benchmark configs and write results JSON.
+
+Configs (BASELINE.md):
+  1. 1D vCH, N=128, 100 steps, single-scenario PGD (CPU-parity config).
+  2. 1D vCH, N=512, 500 steps, batched scenarios over a (b3, kappa) sweep.
+  3. 2D vCH, 64x64 terminal-target steering, single scenario.
+  4. 2D vCH, 128x128 batched scenarios (1 host).
+
+Usage: python scripts/run_benchmarks.py [config_numbers...] [--iters K]
+Writes/merges results into BENCH_RESULTS.json at the repo root.
+"""
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
+                      os.path.join(REPO, ".jax_cache"))
+
+
+def _dtype():
+    import jax
+    return "float32" if jax.default_backend() != "cpu" else "float64"
+
+
+def bench_config_1(iters: int):
+    from vch_tpu.config import ForwardSolverConfig1D, OptimizationConfig
+    from vch_tpu.control.problems import ControlProblem1D
+    dt = _dtype()
+    if dt == "float64":
+        import jax
+        jax.config.update("jax_enable_x64", True)
+    prob = ControlProblem1D(ForwardSolverConfig1D(dtype=dt),
+                            OptimizationConfig())
+    prob.optimize(max_iter=1, verbose=False)          # compile
+    t0 = time.perf_counter()
+    res = prob.optimize(max_iter=iters, verbose=False)
+    el = time.perf_counter() - t0
+    return {"pgd_iters_per_s": iters / el, "final_cost": res.cost_history[-1],
+            "iters": iters, "elapsed_s": el, "dtype": dt}
+
+
+def bench_config_2(iters: int, batch: int = 64):
+    from vch_tpu.config import ForwardSolverConfig1D, OptimizationConfig
+    from vch_tpu.parallel.batch import BatchedProblem1D, sweep_1d
+    dt = _dtype()
+    cfg = ForwardSolverConfig1D(N=512, T=1.0, dt_initial=2e-3, dtype=dt,
+                                newton_tol=2e-4 if dt == "float32" else 1e-6)
+    prob = BatchedProblem1D(cfg)
+    b3s = np.linspace(5e-4, 5e-3, max(1, batch // 8))
+    kss = np.linspace(1e-5, 2e-4, 8)
+    sc = sweep_1d(cfg, OptimizationConfig(), b3_values=b3s, kappa_values=kss)
+    import dataclasses
+    reps = -(-batch // sc.batch)
+    tile = lambda a: np.concatenate([a] * reps, axis=0)[:batch]
+    sc = dataclasses.replace(sc, phi0=tile(sc.phi0), phi_T=tile(sc.phi_T),
+                             phi_Q=tile(sc.phi_Q), b1=tile(sc.b1),
+                             b2=tile(sc.b2), b3=tile(sc.b3),
+                             kappa_spar=tile(sc.kappa_spar))
+    prob.run(sc, max_iter=1, verbose=False)           # compile
+    t0 = time.perf_counter()
+    out = prob.run(sc, max_iter=iters, verbose=False)
+    el = time.perf_counter() - t0
+    return {"scenario_iters_per_s": batch * iters / el, "batch": batch,
+            "iters": iters, "elapsed_s": el, "dtype": dt,
+            "mean_final_cost": float(out["cost_history"][-1].mean())}
+
+
+def bench_config_3(iters: int):
+    from vch_tpu.config import ForwardSolverConfig2D, OptimizationConfig
+    from vch_tpu.control.problems import ControlProblem2D
+    dt = _dtype()
+    prob = ControlProblem2D(
+        ForwardSolverConfig2D(Nx=64, Ny=64, dtype=dt,
+                              newton_tol=2e-4 if dt == "float32" else 1e-6),
+        OptimizationConfig.defaults_2d())
+    prob.optimize(max_iter=1, verbose=False)
+    t0 = time.perf_counter()
+    res = prob.optimize(max_iter=iters, verbose=False)
+    el = time.perf_counter() - t0
+    return {"pgd_iters_per_s": iters / el, "final_cost": res.cost_history[-1],
+            "iters": iters, "elapsed_s": el, "dtype": dt,
+            "vs_ref_cpu_iter_s": None}
+
+
+def main():
+    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    iters = 3
+    for a in sys.argv[1:]:
+        if a.startswith("--iters"):
+            iters = int(a.split("=")[1])
+    configs = [int(a) for a in args] or [1, 3]
+    fns = {1: bench_config_1, 2: bench_config_2, 3: bench_config_3}
+    path = os.path.join(REPO, "BENCH_RESULTS.json")
+    results = {}
+    if os.path.exists(path):
+        with open(path) as f:
+            results = json.load(f)
+    for c in configs:
+        print(f"--- config {c} ---", flush=True)
+        results[f"config_{c}"] = fns[c](iters)
+        print(json.dumps(results[f"config_{c}"], indent=1), flush=True)
+        with open(path, "w") as f:
+            json.dump(results, f, indent=1)
+
+
+if __name__ == "__main__":
+    main()

@@ -230,6 +230,32 @@ def cmd_optimize2d(args):
     return 0
 
 
+def cmd_sweep2d(args):
+    """Batched (b3, kappa_spar) sweep over a mesh of devices (new capability;
+    the reference can only run one scenario per process)."""
+    from vch_tpu.config import ForwardSolverConfig2D
+    from vch_tpu.parallel.batch import BatchedProblem2D, sweep_2d
+    from vch_tpu.utils.checkpoint import save_checkpoint
+    dtype = _pick_dtype(args)
+    _maybe_x64(dtype)
+    cfg = ForwardSolverConfig2D(dtype=dtype, Nx=args.n, Ny=args.n, T=args.T)
+    b3s = [float(v) for v in args.b3.split(",")]
+    kss = [float(v) for v in args.kappa.split(",")]
+    prob = BatchedProblem2D(cfg, use_mesh=args.mesh)
+    sc = sweep_2d(cfg, b3_values=b3s, kappa_values=kss,
+                  choice_t=args.target, choice_q=args.tracking)
+    out = prob.run(sc, max_iter=args.max_iter or 50)
+    print(f"batch {sc.batch}: converged {out['converged'].sum()}, "
+          f"final costs {out['cost_history'][-1].round(5)}")
+    if args.checkpoint:
+        save_checkpoint(args.checkpoint,
+                        {"u": out["u"], "cost_history": out["cost_history"],
+                         "b3": sc.b3, "kappa_spar": sc.kappa_spar},
+                        {"n": args.n, "T": args.T})
+        print("sweep results saved to", args.checkpoint)
+    return 0
+
+
 def cmd_show_control(args):
     """Equivalent of the reference's `read data file.py` loader."""
     u = np.load(args.file)
@@ -263,6 +289,15 @@ def main(argv=None):
     p.add_argument("--n", type=int, default=128)
     p.add_argument("--T", type=float, default=1.0)
     p.set_defaults(fn=cmd_optimize2d)
+
+    p = sub.add_parser("sweep2d", help="batched (b3, kappa) sweep over a mesh")
+    _add_common(p)
+    p.add_argument("--n", type=int, default=64)
+    p.add_argument("--T", type=float, default=1.0)
+    p.add_argument("--b3", default="1e-4,2e-4", help="comma-separated b3 values")
+    p.add_argument("--kappa", default="5e-5,1e-4", help="comma-separated kappa_spar values")
+    p.add_argument("--mesh", action="store_true", help="shard the batch over all devices")
+    p.set_defaults(fn=cmd_sweep2d)
 
     p = sub.add_parser("show-control", help="inspect a saved control .npy")
     p.add_argument("file")

@@ -135,14 +135,72 @@ class ProximalGradientLoop:
     def __init__(self, forward: Callable, adjoint: Callable, cost: Callable,
                  opt_config: OptimizationConfig,
                  settings: Optional[PGDSettings] = None,
-                 error_norms: Optional[Callable] = None):
+                 error_norms: Optional[Callable] = None,
+                 search_mode: str = "host"):
+        """search_mode:
+          'host'  — the line search is driven from the host; each trial
+                    (prox + forward + cost) is one top-level jitted call.
+                    Default: identical trial sequence to 'fused', far
+                    smaller compiled programs, and it avoids a TPU runtime
+                    fault observed when the forward scan nests inside a
+                    search while_loop on the axon platform.
+          'fused' — the whole iteration (adjoint + search loop) is a single
+                    jitted function (vmappable as one unit).
+        """
+        assert search_mode in ("host", "fused")
         self.forward = forward
         self.adjoint = adjoint
         self.cost = cost
         self.opt = opt_config
         self.s = settings or PGDSettings.defaults_1d()
         self.error_norms = error_norms
+        self.search_mode = search_mode
         self._iteration = jax.jit(self._iteration_impl)
+        opt = self.opt
+
+        def _adjoint_grad(phi_k, u_k):
+            r_k = self.adjoint(phi_k)
+            return r_k, calculate_gradient(r_k, u_k, opt.b3)
+
+        def _trial(u_k, grad, alpha):
+            u_t = proximal_step(u_k, grad, alpha, opt.kappa_sparsity,
+                                opt.u_min, opt.u_max)
+            phi_t = self.forward(u_t)
+            return u_t, phi_t, self.cost(phi_t, u_t)
+
+        def _metrics(u_1, u_k, phi_1):
+            change = (jnp.linalg.norm(u_1 - u_k)
+                      / (jnp.linalg.norm(u_k) + 1e-9))
+            errs = (self.error_norms(phi_1) if self.error_norms is not None
+                    else (jnp.asarray(0.0), jnp.asarray(0.0)))
+            return change, errs
+
+        self._adjoint_grad = jax.jit(_adjoint_grad)
+        self._trial = jax.jit(_trial)
+        self._metrics = jax.jit(_metrics)
+
+    def _iteration_host(self, u_k, phi_k, cost_k, alpha_prev):
+        """Host-driven optimistic + backtracking search; same trial
+        sequence as optimistic_backtracking_search."""
+        s = self.s
+        r_k, grad = self._adjoint_grad(phi_k, u_k)
+        max_trials = 1 + s.ls_max_trials
+        alpha = alpha_prev
+        j = 0
+        while True:
+            u_t, phi_t, c_t = self._trial(u_k, grad, alpha)
+            c = float(c_t)
+            j += 1
+            ok = c < cost_k
+            nxt = (alpha_prev * s.ls_alpha_factor if j == 1
+                   else alpha * s.ls_beta)
+            alpha_report = alpha if ok else nxt
+            if ok or j >= max_trials:
+                break
+            alpha = nxt
+        opt_ok = ok and (j == 1)
+        change, errs = self._metrics(u_t, u_k, phi_t)
+        return (u_t, phi_t, c, alpha_report, r_k, j, change, opt_ok, errs)
 
     def _iteration_impl(self, u_k, phi_k, cost_k, alpha_prev):
         opt, s = self.opt, self.s
@@ -185,12 +243,13 @@ class ProximalGradientLoop:
         r_k = jnp.zeros_like(u_k)
         final_iters = max_iter
 
+        step_fn = (self._iteration_host if self.search_mode == "host"
+                   else self._iteration)
         t_start = time.perf_counter()
         for k in range(max_iter):
             it0 = time.perf_counter()
             (u_1, phi_1, c_1, alpha_k, r_k, n_trials, change, opt_ok,
-             (e_track, e_term)) = self._iteration(u_k, phi_k, cost_k,
-                                                  alpha_prev)
+             (e_track, e_term)) = step_fn(u_k, phi_k, cost_k, alpha_prev)
             c_1 = float(c_1)
             alpha_k = float(alpha_k)
             change = float(change)

@@ -2,13 +2,15 @@
 
 The scenario batch is the TPU-native unit of work (SURVEY.md section 7):
 each member has its own initial condition, targets, and cost weights
-(b1, b2, b3, kappa_spar). One PGD iteration for the whole batch is a single
-jitted vmapped function — adjoint sweep, gradient, prox, optimistic forward,
-and the backtracking search all run data-parallel; per-member line-search
-divergence is handled by the vmapped while_loop (runs to the max trial count
-across members, others are masked no-ops). With a Mesh, the batch axis is
-sharded via NamedSharding so the same program spans chips with XLA inserting
-any needed collectives.
+(b1, b2, b3, kappa_spar). The adjoint sweep, gradient, prox, and each
+line-search trial (prox + full forward + cost) are vmapped jitted programs;
+the optimistic/backtracking schedule itself is driven from the host with
+per-member masks, so members that accept early are frozen while others keep
+backtracking — and the forward scan always stays a TOP-LEVEL jit (nesting it
+inside a search while_loop faults the axon TPU runtime; see
+ProximalGradientLoop.search_mode). With a Mesh, batch-axis inputs are
+device_put with NamedSharding and jit propagates the sharding, so the same
+programs span chips with XLA inserting any needed collectives.
 """
 from __future__ import annotations
 
@@ -25,7 +27,7 @@ from vch_tpu.config import (
     OptimizationConfig,
 )
 from vch_tpu.control.cost import calculate_cost_1d, calculate_cost_2d
-from vch_tpu.control.pgd import PGDSettings, optimistic_backtracking_search
+from vch_tpu.control.pgd import PGDSettings
 from vch_tpu.control.prox import proximal_step
 from vch_tpu.control.targets import build_targets_1d, build_targets_2d
 from vch_tpu.models.adjoint1d import AdjointSolver1D
@@ -111,39 +113,88 @@ class _BatchedPGDBase:
         self.s = settings
         self.alpha_max = alpha_max
         self.mesh = mesh if mesh is not None else (make_mesh() if use_mesh else None)
-        vmapped = jax.vmap(self._one_iteration)
-        self._iteration_plain = jax.jit(vmapped)
-        if self.mesh is not None:
-            sh = batch_sharding(self.mesh)
-            self._iteration_sharded = jax.jit(
-                vmapped, in_shardings=(sh,) * 11, out_shardings=sh)
-        else:
-            self._iteration_sharded = None
 
-    def _pick_iteration(self, batch: int):
-        """Sharded program when the batch divides the mesh, else replicated."""
-        if (self._iteration_sharded is not None
-                and batch % self.mesh.devices.size == 0):
-            return self._iteration_sharded
-        return self._iteration_plain
+        # Host-driven search (see ProximalGradientLoop.search_mode='host'):
+        # each jitted piece keeps the forward scan at top level — the fused
+        # search-while(forward-scan) nesting faults the axon TPU runtime.
+        def _adjoint_grad(u, phi, b1, b2, b3, phi_Q, phi_T):
+            r = self._adjoint(phi, b1, b2, phi_Q, phi_T)
+            return r, r + b3 * u
 
-    # subclass provides: _forward(u, phi0), _adjoint(phi, b1, b2, phi_Q, phi_T),
-    #                    _cost(phi, u, phi_Q, phi_T, b1, b2, b3, ks)
-    def _one_iteration(self, u, phi, cost, alpha, phi0, phi_T, phi_Q,
-                       b1, b2, b3, ks):
-        r = self._adjoint(phi, b1, b2, phi_Q, phi_T)
-        grad = r + b3 * u
-
-        def trial(a):
-            u_t = proximal_step(u, grad, a, ks, self.u_min, self.u_max)
+        def _trial(u, grad, alpha, phi0, phi_Q, phi_T, b1, b2, b3, ks):
+            u_t = proximal_step(u, grad, alpha, ks, self.u_min, self.u_max)
             phi_t = self._forward(u_t, phi0)
             c_t = self._cost(phi_t, u_t, phi_Q, phi_T, b1, b2, b3, ks)
             return u_t, phi_t, c_t
 
-        alpha_k, u1, phi1, c1, n_trials, opt_ok = (
-            optimistic_backtracking_search(trial, cost, alpha, self.s))
-        change = jnp.linalg.norm(u1 - u) / (jnp.linalg.norm(u) + 1e-9)
-        return u1, phi1, c1, alpha_k, r, n_trials, change, opt_ok
+        def _merge(take, new, old):
+            """Per-member where over a (B,...) pytree given a (B,) mask."""
+            def sel(a, b):
+                m = take.reshape((-1,) + (1,) * (a.ndim - 1))
+                return jnp.where(m, a, b)
+            return jax.tree_util.tree_map(sel, new, old)
+
+        def _change(u1, u):
+            axes = tuple(range(1, u.ndim))
+            return (jnp.linalg.norm((u1 - u).reshape(u.shape[0], -1), axis=1)
+                    / (jnp.linalg.norm(u.reshape(u.shape[0], -1), axis=1)
+                       + 1e-9))
+
+        self._adjoint_grad_v = self._maybe_shard(jax.vmap(_adjoint_grad))
+        self._trial_v = self._maybe_shard(jax.vmap(_trial))
+        self._merge_v = jax.jit(_merge)
+        self._change_v = jax.jit(_change)
+        self._forward_v = self._maybe_shard(jax.vmap(lambda u, p0: self._forward(u, p0)))
+        self._cost_v = self._maybe_shard(jax.vmap(self._cost))
+
+    def _maybe_shard(self, fn):
+        """Jit fn. Sharding is applied by device_put of the inputs in run();
+        jit propagates input shardings, so one compiled program serves the
+        replicated and the mesh-sharded cases."""
+        return jax.jit(fn)
+
+    def _search(self, u, phi_b, cost_np, alpha_prev_np, r, grad, phi0,
+                phi_Q, phi_T, b1, b2, b3, ks, dtype):
+        """Masked host-driven optimistic+backtracking over the batch.
+
+        Replicates the reference trial schedule per member: alpha_prev
+        first, then alpha_prev*ls_alpha_factor*ls_beta^(j-1); failed-out
+        members keep their LAST tried (worse) iterate with alpha already
+        multiplied by beta (GD_1D.py:110-113 semantics).
+        """
+        s = self.s
+        B = cost_np.shape[0]
+        max_trials = 1 + s.ls_max_trials
+        searching = np.ones(B, dtype=bool)
+        alpha_try = alpha_prev_np.copy()
+        n_trials = np.zeros(B, dtype=int)
+        opt_ok = np.zeros(B, dtype=bool)
+        res = None
+        res_alpha = alpha_prev_np.copy()
+        for j in range(max_trials):
+            out = self._trial_v(u, grad, jnp.asarray(alpha_try, dtype),
+                                phi0, phi_Q, phi_T, b1, b2, b3, ks)
+            c_np = np.asarray(out[2])
+            ok = c_np < cost_np
+            last = j == max_trials - 1
+            nxt = np.where(j == 0, alpha_prev_np * s.ls_alpha_factor,
+                           alpha_try * s.ls_beta)
+            take = searching & (ok | last)
+            if res is None:
+                res = out
+            else:
+                res = self._merge_v(jnp.asarray(take), out, res)
+            res_alpha = np.where(take, np.where(ok, alpha_try, nxt),
+                                 res_alpha)
+            n_trials = np.where(searching, j + 1, n_trials)
+            if j == 0:
+                opt_ok = ok.copy()
+            searching = searching & ~ok
+            if not searching.any():
+                break
+            alpha_try = np.where(searching, nxt, alpha_try)
+        u1, phi1, c1 = res
+        return u1, phi1, np.asarray(c1), res_alpha, n_trials, opt_ok
 
     def run(self, scenarios: ScenarioBatch, max_iter: int,
             verbose: bool = True, dtype=None):
@@ -153,7 +204,11 @@ class _BatchedPGDBase:
         changes materially), matching masked-fixed-point semantics."""
         dtype = dtype or self.dtype
         B = scenarios.batch
-        as_dev = lambda a: jnp.asarray(a, dtype)
+        shard = (self.mesh is not None
+                 and B % self.mesh.devices.size == 0)
+        sh = batch_sharding(self.mesh) if shard else None
+        as_dev = lambda a: (jax.device_put(jnp.asarray(a, dtype), sh)
+                            if shard else jnp.asarray(a, dtype))
         phi0 = as_dev(scenarios.phi0)
         phi_T = as_dev(scenarios.phi_T)
         phi_Q = as_dev(scenarios.phi_Q)
@@ -162,34 +217,31 @@ class _BatchedPGDBase:
         self.u_min, self.u_max = scenarios.u_min, scenarios.u_max
 
         # baseline forward per scenario
-        phi = jax.jit(jax.vmap(self._forward))(
-            jnp.zeros((B,) + self._control_shape, dtype), phi0)
-        u = jnp.zeros_like(phi) if self._control_is_state_shaped else (
-            jnp.zeros((B,) + self._control_shape, dtype))
-        cost = jax.jit(jax.vmap(self._cost))(phi, u, phi_Q, phi_T, b1, b2, b3, ks)
+        u = as_dev(np.zeros((B,) + self._control_shape))
+        phi = self._forward_v(u, phi0)
+        cost = self._cost_v(phi, u, phi_Q, phi_T, b1, b2, b3, ks)
 
-        alpha = jnp.full((B,), self.alpha_max, dtype)
+        alpha = np.full((B,), self.alpha_max)
         cost_hist = [np.asarray(cost)]
         plateau = np.zeros(B, dtype=int)
         converged = np.zeros(B, dtype=bool)
         iters_to_converge = np.full(B, max_iter, dtype=int)
         s = self.s
 
-        iteration = self._pick_iteration(B)
         for k in range(max_iter):
-            u, phi, cost, alpha_k, r, n_trials, change, opt_ok = (
-                iteration(u, phi, cost, alpha, phi0, phi_T, phi_Q,
-                          b1, b2, b3, ks))
-            c_np = np.asarray(cost)
-            a_np = np.asarray(alpha_k)
-            ch_np = np.asarray(change)
+            r, grad = self._adjoint_grad_v(u, phi, b1, b2, b3, phi_Q, phi_T)
+            u_prev = u
+            u, phi, c_np, a_np, n_trials, opt_ok = self._search(
+                u, phi, cost_hist[-1], alpha, r, grad, phi0, phi_Q, phi_T,
+                b1, b2, b3, ks, dtype)
+            ch_np = np.asarray(self._change_v(u, u_prev))
 
             flat = np.abs(c_np - cost_hist[-1]) < s.plateau_tolerance
             plateau = np.where(flat, plateau + 1, 0)
             boost = plateau >= s.plateau_length
             a_next = np.where(boost, a_np * s.plateau_boost, a_np * 1.2)
             plateau = np.where(boost, 0, plateau)
-            alpha = jnp.asarray(np.minimum(self.alpha_max, a_next), dtype)
+            alpha = np.minimum(self.alpha_max, a_next)
 
             newly = (~converged) & (ch_np < s.conv_tol) & (k > s.conv_min_iter)
             iters_to_converge[newly] = k + 1
