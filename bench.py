@@ -37,8 +37,10 @@ def main():
     except Exception:
         pass
 
+    # Defaults match the persisted compilation cache (.jax_cache) so driver
+    # runs hit warm programs; override via env for other sizes.
     N = int(os.environ.get("VCH_BENCH_N", "64"))
-    B = int(os.environ.get("VCH_BENCH_BATCH", "16"))
+    B = int(os.environ.get("VCH_BENCH_BATCH", "8"))
     iters = int(os.environ.get("VCH_BENCH_ITERS", "3"))
     on_tpu = jax.default_backend() != "cpu"
     dtype = os.environ.get("VCH_BENCH_DTYPE",

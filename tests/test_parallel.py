@@ -74,3 +74,26 @@ def test_shard_batch_places_on_mesh():
     x = np.zeros((8, 4))
     (y,) = shard_batch((x,), mesh)
     assert len(set(d.id for d in y.devices())) == 8
+
+
+def test_batched_checkpoint_resume(tmp_path):
+    """Checkpoint at iter 2, resume, and land on the same final state as an
+    uninterrupted run (new capability; reference has none, SURVEY.md sec 5)."""
+    cfg = ForwardSolverConfig1D(N=48, T=0.2)
+    sc_a = sweep_1d(cfg, OptimizationConfig(), b3_values=[1e-3, 2e-3],
+                    kappa_values=[1e-4])
+    full = BatchedProblem1D(cfg).run(sc_a, max_iter=4, verbose=False)
+
+    ckpt = str(tmp_path / "pgd.npz")
+    sc_b = sweep_1d(cfg, OptimizationConfig(), b3_values=[1e-3, 2e-3],
+                    kappa_values=[1e-4])
+    prob = BatchedProblem1D(cfg)
+    prob.run(sc_b, max_iter=2, verbose=False,
+             checkpoint_path=ckpt, checkpoint_every=2)
+    sc_c = sweep_1d(cfg, OptimizationConfig(), b3_values=[1e-3, 2e-3],
+                    kappa_values=[1e-4])
+    resumed = prob.run(sc_c, max_iter=4, verbose=False,
+                       checkpoint_path=ckpt, resume=True)
+    assert np.allclose(resumed["u"], full["u"], atol=1e-12)
+    assert np.allclose(resumed["cost_history"][-1], full["cost_history"][-1],
+                       rtol=1e-12)

@@ -239,6 +239,8 @@ class ProximalGradientLoop:
                   "iteration_total": 0.0}
         plateau_counter = 0
         successful_optimistic_alphas: list = []
+        self._advisor_last_avg = 0.0
+        self._advisor_stable = 0
         converged = False
         r_k = jnp.zeros_like(u_k)
         final_iters = max_iter
@@ -262,7 +264,21 @@ class ProximalGradientLoop:
             ls_trials.append(int(n_trials))
 
             if bool(opt_ok) and k >= s.advisor_start_iter:
+                # live alpha advisor (ref GD_1D.py:388-404): track successful
+                # optimistic alphas; after a stable average, tip the user.
                 successful_optimistic_alphas.append(alpha_prev)
+                if len(successful_optimistic_alphas) > 10:
+                    cur_avg = float(np.mean(successful_optimistic_alphas))
+                    if np.isclose(cur_avg, self._advisor_last_avg, rtol=1e-3):
+                        self._advisor_stable += 1
+                    else:
+                        self._advisor_stable = 0
+                    self._advisor_last_avg = cur_avg
+                    if (self._advisor_stable >= 50 and k % 10 == 0
+                            and verbose):
+                        print(f"[LIVE ADVISOR] Stable average alpha "
+                              f"{cur_avg:.4f} found — consider restarting "
+                              f"with it as alpha_max.")
 
             # plateau detection + alpha update
             if k > 0 and abs(cost_history[-1] - cost_history[-2]) < s.plateau_tolerance:

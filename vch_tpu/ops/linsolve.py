@@ -149,22 +149,34 @@ def bicgstab_fixed(apply_A: Callable, b: jnp.ndarray, apply_M: Callable,
     dot = lambda a, c: jnp.sum(a * c)
     eps_div = jnp.asarray(1e-300 if dtype == jnp.float64 else 1e-30, dtype)
     one = jnp.asarray(1.0, dtype)
+    # Freeze threshold: once ||r|| reaches the dtype noise floor relative to
+    # ||b||, further (branch-free) iterations would divide near-zero
+    # quantities and inject garbage (BiCGStab breakdown) — mask the update
+    # instead. This replaces the adaptive loop's early exit.
+    eps_mach = 2.2e-16 if dtype == jnp.float64 else 1.2e-7
+    floor2 = (50.0 * eps_mach) ** 2 * jnp.maximum(dot(b, b), eps_div)
 
     def body(_, carry):
         x, r, p, v, rho, alpha, omega = carry
+        active = dot(r, r) > floor2
         rho_new = dot(rhat, r)
         beta = (rho_new / (rho + eps_div)) * (alpha / (omega + eps_div))
-        p = r + beta * (p - omega * v)
-        phat = apply_M(p)
-        v = apply_A(phat)
-        alpha = rho_new / (dot(rhat, v) + eps_div)
-        s = r - alpha * v
+        p_n = r + beta * (p - omega * v)
+        phat = apply_M(p_n)
+        v_n = apply_A(phat)
+        alpha_n = rho_new / (dot(rhat, v_n) + eps_div)
+        s = r - alpha_n * v_n
         shat = apply_M(s)
         t = apply_A(shat)
-        omega = dot(t, s) / (dot(t, t) + eps_div)
-        x = x + alpha * phat + omega * shat
-        r = s - omega * t
-        return (x, r, p, v, rho_new, alpha, omega)
+        omega_n = dot(t, s) / (dot(t, t) + eps_div)
+        x_n = x + alpha_n * phat + omega_n * shat
+        r_n = s - omega_n * t
+        # also reject non-finite excursions (stabilizer breakdown)
+        ok = active & jnp.isfinite(dot(r_n, r_n))
+        sel = lambda a, bb: jnp.where(ok, a, bb)
+        return (sel(x_n, x), sel(r_n, r), sel(p_n, p), sel(v_n, v),
+                jnp.where(ok, rho_new, rho), jnp.where(ok, alpha_n, alpha),
+                jnp.where(ok, omega_n, omega))
 
     init = (x, r, jnp.zeros_like(b), jnp.zeros_like(b), one, one, one)
     out = jax.lax.fori_loop(0, n_iter, body, init)

@@ -197,11 +197,19 @@ class _BatchedPGDBase:
         return u1, phi1, np.asarray(c1), res_alpha, n_trials, opt_ok
 
     def run(self, scenarios: ScenarioBatch, max_iter: int,
-            verbose: bool = True, dtype=None):
+            verbose: bool = True, dtype=None,
+            checkpoint_path: Optional[str] = None,
+            checkpoint_every: int = 0, resume: bool = False):
         """Vectorized PGD over the batch. Per-member plateau detection,
         alpha growth, and convergence freezing mirror the single-scenario
         loop; converged members keep iterating as no-ops (their u no longer
-        changes materially), matching masked-fixed-point semantics."""
+        changes materially), matching masked-fixed-point semantics.
+
+        checkpoint_path + checkpoint_every enable mid-run optimizer-state
+        checkpointing (u, alpha, plateau/convergence state, cost history);
+        resume=True restarts from the checkpoint, recomputing phi from u
+        (the trajectory is a pure function of the control). The reference
+        has no mid-run checkpointing (SURVEY.md section 5)."""
         dtype = dtype or self.dtype
         B = scenarios.batch
         shard = (self.mesh is not None
@@ -216,19 +224,33 @@ class _BatchedPGDBase:
         b3, ks = as_dev(scenarios.b3), as_dev(scenarios.kappa_spar)
         self.u_min, self.u_max = scenarios.u_min, scenarios.u_max
 
-        # baseline forward per scenario
-        u = as_dev(np.zeros((B,) + self._control_shape))
-        phi = self._forward_v(u, phi0)
-        cost = self._cost_v(phi, u, phi_Q, phi_T, b1, b2, b3, ks)
-
-        alpha = np.full((B,), self.alpha_max)
-        cost_hist = [np.asarray(cost)]
-        plateau = np.zeros(B, dtype=int)
-        converged = np.zeros(B, dtype=bool)
-        iters_to_converge = np.full(B, max_iter, dtype=int)
+        k_start = 0
+        if resume and checkpoint_path:
+            from vch_tpu.utils.checkpoint import load_checkpoint
+            state, meta = load_checkpoint(checkpoint_path)
+            u = as_dev(state["u"])
+            phi = self._forward_v(u, phi0)
+            alpha = state["alpha"]
+            plateau = state["plateau"].astype(int)
+            converged = state["converged"].astype(bool)
+            iters_to_converge = state["iters_to_converge"].astype(int)
+            cost_hist = list(state["cost_history"])
+            k_start = int(meta["iteration"])
+            if verbose:
+                print(f"[resume] from {checkpoint_path} at iter {k_start}")
+        else:
+            # baseline forward per scenario
+            u = as_dev(np.zeros((B,) + self._control_shape))
+            phi = self._forward_v(u, phi0)
+            cost = self._cost_v(phi, u, phi_Q, phi_T, b1, b2, b3, ks)
+            alpha = np.full((B,), self.alpha_max)
+            cost_hist = [np.asarray(cost)]
+            plateau = np.zeros(B, dtype=int)
+            converged = np.zeros(B, dtype=bool)
+            iters_to_converge = np.full(B, max_iter, dtype=int)
         s = self.s
 
-        for k in range(max_iter):
+        for k in range(k_start, max_iter):
             r, grad = self._adjoint_grad_v(u, phi, b1, b2, b3, phi_Q, phi_T)
             u_prev = u
             u, phi, c_np, a_np, n_trials, opt_ok = self._search(
@@ -251,6 +273,16 @@ class _BatchedPGDBase:
                 print(f"iter {k+1:4d} | mean cost {c_np.mean():.6f} | "
                       f"converged {converged.sum()}/{B} | "
                       f"max trials {int(np.asarray(n_trials).max())}")
+            if (checkpoint_path and checkpoint_every
+                    and (k + 1) % checkpoint_every == 0):
+                from vch_tpu.utils.checkpoint import save_checkpoint
+                save_checkpoint(
+                    checkpoint_path,
+                    {"u": np.asarray(u), "alpha": alpha, "plateau": plateau,
+                     "converged": converged,
+                     "iters_to_converge": iters_to_converge,
+                     "cost_history": np.stack(cost_hist)},
+                    {"iteration": k + 1})
             if converged.all():
                 break
 
@@ -297,13 +329,14 @@ class BatchedProblem1D(_BatchedPGDBase):
                                  self._t_ref, b1, b2, b3, ks)
 
     def run(self, scenarios: ScenarioBatch, max_iter: int,
-            verbose: bool = True, dtype=None):
+            verbose: bool = True, dtype=None, **kwargs):
         # convert core-layout phi_Q (M+1 rows, as sweep_1d builds) to the
         # reference layout (duplicated t=0 row) this problem operates in
         pq = scenarios.phi_Q
         if pq.shape[1] == self.solver.M + 1:
             scenarios.phi_Q = np.concatenate([pq[:, :1], pq], axis=1)
-        return super().run(scenarios, max_iter, verbose=verbose, dtype=dtype)
+        return super().run(scenarios, max_iter, verbose=verbose, dtype=dtype,
+                           **kwargs)
 
 
 class BatchedProblem2D(_BatchedPGDBase):
