@@ -73,8 +73,12 @@ def main():
     out = prob.run(sc, max_iter=iters, verbose=False)
     elapsed = time.perf_counter() - t0
     assert np.all(np.isfinite(out["cost_history"]))
-    assert (out["cost_history"][-1] < out["cost_history"][0] + 1e-9).all(), \
-        "costs did not descend"
+    # A failed line search legitimately keeps a worse iterate for a member
+    # (reference semantics, GD_1D.py:110-113), so gate on the batch mean.
+    descend_frac = float(
+        (out["cost_history"][-1] < out["cost_history"][0] + 1e-9).mean())
+    assert out["cost_history"][-1].mean() < out["cost_history"][0].mean(), \
+        f"mean cost did not descend (descend_frac={descend_frac})"
 
     value = B * iters / elapsed
 

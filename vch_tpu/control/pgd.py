@@ -50,6 +50,10 @@ class PGDSettings:
     conv_tol: float = 1e-5
     conv_min_iter: int = 10
     advisor_start_iter: int = 100
+    # Reference semantics keep the last (worse) trial when every trial fails
+    # (GD_1D.py:110-113). False = reject the step and retry next iteration
+    # with a shrunk alpha — the sane choice for the exact-gradient mode.
+    keep_failed_step: bool = True
 
     @classmethod
     def defaults_1d(cls) -> "PGDSettings":
@@ -60,6 +64,12 @@ class PGDSettings:
         return cls(ls_max_trials=10, ls_alpha_factor=0.8, plateau_length=5,
                    plateau_tolerance=1e-5, plateau_boost=1.5,
                    conv_min_iter=20)
+
+    @classmethod
+    def defaults_exact(cls) -> "PGDSettings":
+        """For the exact-gradient mode: the gradient has true (much larger)
+        magnitude, so backtrack deeper and never keep an ascent step."""
+        return cls(ls_max_trials=15, ls_beta=0.5, keep_failed_step=False)
 
 
 def optimistic_backtracking_search(trial, cost_k, alpha_prev, s: PGDSettings):
@@ -136,7 +146,8 @@ class ProximalGradientLoop:
                  opt_config: OptimizationConfig,
                  settings: Optional[PGDSettings] = None,
                  error_norms: Optional[Callable] = None,
-                 search_mode: str = "host"):
+                 search_mode: str = "host",
+                 adjoint_takes_u: bool = False):
         """search_mode:
           'host'  — the line search is driven from the host; each trial
                     (prox + forward + cost) is one top-level jitted call.
@@ -155,11 +166,13 @@ class ProximalGradientLoop:
         self.s = settings or PGDSettings.defaults_1d()
         self.error_norms = error_norms
         self.search_mode = search_mode
+        self.adjoint_takes_u = adjoint_takes_u
         self._iteration = jax.jit(self._iteration_impl)
         opt = self.opt
 
         def _adjoint_grad(phi_k, u_k):
-            r_k = self.adjoint(phi_k)
+            r_k = (self.adjoint(phi_k, u_k) if self.adjoint_takes_u
+                   else self.adjoint(phi_k))
             return r_k, calculate_gradient(r_k, u_k, opt.b3)
 
         def _trial(u_k, grad, alpha):
@@ -198,13 +211,16 @@ class ProximalGradientLoop:
             if ok or j >= max_trials:
                 break
             alpha = nxt
+        if not ok and not s.keep_failed_step:
+            u_t, phi_t, c = u_k, phi_k, cost_k     # reject the ascent step
         opt_ok = ok and (j == 1)
         change, errs = self._metrics(u_t, u_k, phi_t)
         return (u_t, phi_t, c, alpha_report, r_k, j, change, opt_ok, errs)
 
     def _iteration_impl(self, u_k, phi_k, cost_k, alpha_prev):
         opt, s = self.opt, self.s
-        r_k = self.adjoint(phi_k)
+        r_k = (self.adjoint(phi_k, u_k) if self.adjoint_takes_u
+               else self.adjoint(phi_k))
         grad = calculate_gradient(r_k, u_k, opt.b3)
 
         def trial(alpha):

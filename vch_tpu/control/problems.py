@@ -127,12 +127,23 @@ class ControlProblem2D:
 
 
 class ControlProblem1D:
-    """Sparse optimal control of the 1D vCH system (ref: GD_1D.py)."""
+    """Sparse optimal control of the 1D vCH system (ref: GD_1D.py).
+
+    gradient_mode:
+      'reference' — the reference's optimize-then-discretize adjoint r
+                    (approximate gradient; parity with GD_1D.py).
+      'exact'     — the exact discrete gradient via implicit differentiation
+                    (models/adjoint_exact1d.py), matching finite differences
+                    to ~1e-8; no reference analog.
+    """
 
     def __init__(self, fwd_config: Optional[ForwardSolverConfig1D] = None,
                  opt_config: Optional[OptimizationConfig] = None,
                  choice_t: int = 1, choice_q: int = 1,
-                 initial_phi: Optional[np.ndarray] = None):
+                 initial_phi: Optional[np.ndarray] = None,
+                 gradient_mode: str = "reference"):
+        assert gradient_mode in ("reference", "exact")
+        self.gradient_mode = gradient_mode
         self.fwd_config = fwd_config or ForwardSolverConfig1D()
         self.opt_config = opt_config or OptimizationConfig()
         self.solver = ForwardSolver1D(self.fwd_config)
@@ -159,15 +170,45 @@ class ControlProblem1D:
         opt = self.opt_config
         M = self.solver.M
 
-        def forward(u_ref):
-            phi = self.solver._simulate_impl(u_ref[: M + 1], self._phi0_dev)
-            return jnp.concatenate([phi[:1], phi], axis=0)
+        if gradient_mode == "exact":
+            # Exact mode runs in CORE layout (no duplicated t=0 row): the
+            # reference frame is internally inconsistent by one row — its
+            # cost quadrature places u_ref[k] at time t_{k-1} while the
+            # dynamics read it at t_k (SURVEY.md quirk 4) — which makes the
+            # exact gradient ill-posed at the edge rows. Core layout is the
+            # clean discretize-then-optimize formulation.
+            from vch_tpu.models.adjoint_exact1d import ExactAdjoint1D
+            self._exact = ExactAdjoint1D(self.fwd_config)
+            phi_hist_core, _, t_core = self.solver.simulate(
+                initial_phi=self.phi0, ref_layout=False)
+            self.phi_hist0 = phi_hist_core
+            self.t_hist = t_hist = t_core
+            phi_T_c, phi_Q_c = build_targets_1d(
+                x, t_core, np.asarray(phi_hist_core[0]),
+                float(self.fwd_config.Lx), float(self.fwd_config.T),
+                choice_t=choice_t, choice_q=choice_q)
+            self.phi_T_target = jnp.asarray(phi_T_c, dtype)
+            self.phi_Q_target = jnp.asarray(phi_Q_c, dtype)
 
-        def adjoint(phi_ref):
-            _, _, r = self.adjoint._run_impl(
-                phi_ref, self._dts, opt.b1, opt.b2, self.phi_Q_target,
-                self.phi_T_target)
-            return r
+            def forward(u_core):
+                return self.solver._simulate_impl(u_core, self._phi0_dev)
+
+            def adjoint(phi_core, u_core):
+                g, _ = self._exact._grad(
+                    u_core, self._phi0_dev, opt.b1, opt.b2, opt.b3,
+                    self.phi_Q_target, self.phi_T_target)
+                return g - opt.b3 * u_core   # loop re-adds b3*u
+        else:
+            def forward(u_ref):
+                phi = self.solver._simulate_impl(u_ref[: M + 1],
+                                                 self._phi0_dev)
+                return jnp.concatenate([phi[:1], phi], axis=0)
+
+            def adjoint(phi_ref):
+                _, _, r = self.adjoint._run_impl(
+                    phi_ref, self._dts, opt.b1, opt.b2, self.phi_Q_target,
+                    self.phi_T_target)
+                return r
 
         def cost(phi_ref, u_ref):
             return calculate_cost_1d(
@@ -198,7 +239,11 @@ class ControlProblem1D:
 
         self.loop = ProximalGradientLoop(
             forward, adjoint, cost, opt,
-            settings=PGDSettings.defaults_1d(), error_norms=error_norms)
+            settings=(PGDSettings.defaults_exact()
+                      if gradient_mode == "exact"
+                      else PGDSettings.defaults_1d()),
+            error_norms=error_norms,
+            adjoint_takes_u=(gradient_mode == "exact"))
 
     def initial_control(self):
         return jnp.zeros_like(self.phi_hist0)
