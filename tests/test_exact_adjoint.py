@@ -47,3 +47,29 @@ def test_exact_mode_pgd_descends_monotonically():
     ch = np.asarray(res.cost_history)
     assert (np.diff(ch) <= 1e-12).all(), ch
     assert ch[-1] < ch[0]
+
+
+@pytest.mark.slow
+def test_exact_gradient_2d_matches_finite_differences():
+    from vch_tpu.config import ForwardSolverConfig2D
+    from vch_tpu.models.adjoint_exact2d import ExactAdjoint2D
+
+    cfg = ForwardSolverConfig2D(Nx=16, Ny=16, T=0.1, newton_tol=1e-11,
+                                krylov_tol=1e-12)
+    ea = ExactAdjoint2D(cfg)
+    M = ea.solver.M
+    rng = np.random.default_rng(0)
+    u = 0.1 * rng.standard_normal((M + 1, 17, 17))
+    b1, b2, b3 = 5.0, 10.0, 1e-4
+    g, J = ea.gradient(u, b1=b1, b2=b2, b3=b3)
+    g = np.asarray(g)
+    assert np.isfinite(J)
+    wt_t, wxy = ea._wt_t, ea._wxy
+    eps = 1e-5
+    for i, j, k in [(3, 5, 7), (7, 10, 2), (0, 8, 8)]:
+        up = u.copy(); up[i, j, k] += eps
+        um = u.copy(); um[i, j, k] -= eps
+        fd = (ea.gradient(up, b1=b1, b2=b2, b3=b3)[1]
+              - ea.gradient(um, b1=b1, b2=b2, b3=b3)[1]) / (2 * eps)
+        pred = g[i, j, k] * wt_t[i] * wxy[j, k]
+        assert abs(fd - pred) < 1e-4 * max(abs(fd), 1e-8), (i, j, k, fd, pred)
