@@ -103,13 +103,11 @@ class AdjointSolver1D:
                 def apply_M(v):
                     return ((v @ op.Vinv.T) / denom) @ op.V.T
 
-                if self._krylov_fixed is not None:
-                    p_n = bicgstab_fixed(apply_A, rhs, apply_M,
-                                         n_iter=self._krylov_fixed, x0=p_next)
-                else:
-                    p_n = bicgstab(apply_A, rhs, apply_M,
-                                   tol=self._krylov_tol, max_iter=200,
-                                   x0=p_next)
+                # adaptive Krylov (see adjoint2d: fixed trip counts can
+                # return transiently diverged BiCGStab iterates)
+                p_n = bicgstab(apply_A, rhs, apply_M,
+                               tol=self._krylov_tol, max_iter=200,
+                               x0=p_next)
             else:
                 # A = I - tau L + (dt/2) L^2 - (dt/2) diag(fpp_n) L
                 A = (I - tau * L + 0.5 * dt * L2

@@ -26,7 +26,7 @@ import jax.numpy as jnp
 
 from vch_tpu.config import ForwardSolverConfig2D
 from vch_tpu.ops.laplacian import apply_laplacian_2d
-from vch_tpu.ops.linsolve import bicgstab, bicgstab_fixed, make_spectral_op_2d, from_spectral, to_spectral
+from vch_tpu.ops.linsolve import bicgstab, make_spectral_op_2d, from_spectral, to_spectral
 from vch_tpu.ops.potential import fpp_log
 
 
@@ -85,12 +85,12 @@ class AdjointSolver2D:
             def apply_M(v):
                 return from_spectral(op, to_spectral(op, v) / denom)
 
-            if self._krylov_fixed is not None:
-                p_n = bicgstab_fixed(apply_A, rhs, apply_M,
-                                     n_iter=self._krylov_fixed, x0=p_next)
-            else:
-                p_n = bicgstab(apply_A, rhs, apply_M, tol=self.krylov_tol,
-                               max_iter=cfg.krylov_max_iter, x0=p_next)
+            # adaptive Krylov: the adjoint operator is biharmonic-dominated
+            # (condition ~1e6) and a fixed trip count can stop on a
+            # transient divergence that the backward sweep then amplifies
+            # (f32 blow-up to 1e14 observed); iterate to tolerance instead.
+            p_n = bicgstab(apply_A, rhs, apply_M, tol=self.krylov_tol,
+                           max_iter=cfg.krylov_max_iter, x0=p_next)
             q_n = -lap(p_n)
             den = gamma + 0.5 * dt
             r_n = ((gamma - 0.5 * dt) / den * r_next

@@ -157,7 +157,7 @@ def bicgstab_fixed(apply_A: Callable, b: jnp.ndarray, apply_M: Callable,
     floor2 = (50.0 * eps_mach) ** 2 * jnp.maximum(dot(b, b), eps_div)
 
     def body(_, carry):
-        x, r, p, v, rho, alpha, omega = carry
+        x, r, p, v, rho, alpha, omega, best_x, best_r2 = carry
         active = dot(r, r) > floor2
         rho_new = dot(rhat, r)
         beta = (rho_new / (rho + eps_div)) * (alpha / (omega + eps_div))
@@ -171,16 +171,24 @@ def bicgstab_fixed(apply_A: Callable, b: jnp.ndarray, apply_M: Callable,
         omega_n = dot(t, s) / (dot(t, t) + eps_div)
         x_n = x + alpha_n * phat + omega_n * shat
         r_n = s - omega_n * t
-        # also reject non-finite excursions (stabilizer breakdown)
-        ok = active & jnp.isfinite(dot(r_n, r_n))
+        # reject non-finite excursions (stabilizer breakdown)
+        r2_n = dot(r_n, r_n)
+        ok = active & jnp.isfinite(r2_n)
         sel = lambda a, bb: jnp.where(ok, a, bb)
+        # BiCGStab residuals are NOT monotone: track the best iterate so a
+        # fixed trip count can never return a transiently diverged state
+        # (observed: the f32 2D adjoint sweep amplified such states to 1e14).
+        better = ok & (r2_n < best_r2)
+        best_x = jnp.where(better, x_n, best_x)
+        best_r2 = jnp.where(better, r2_n, best_r2)
         return (sel(x_n, x), sel(r_n, r), sel(p_n, p), sel(v_n, v),
                 jnp.where(ok, rho_new, rho), jnp.where(ok, alpha_n, alpha),
-                jnp.where(ok, omega_n, omega))
+                jnp.where(ok, omega_n, omega), best_x, best_r2)
 
-    init = (x, r, jnp.zeros_like(b), jnp.zeros_like(b), one, one, one)
+    init = (x, r, jnp.zeros_like(b), jnp.zeros_like(b), one, one, one,
+            x, dot(r, r))
     out = jax.lax.fori_loop(0, n_iter, body, init)
-    return out[0]
+    return out[7]  # best iterate
 
 
 # ---------------------------------------------------------------------------
