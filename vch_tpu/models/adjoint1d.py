@@ -30,7 +30,7 @@ import jax.numpy as jnp
 
 from vch_tpu.config import ForwardSolverConfig1D
 from vch_tpu.ops.laplacian import laplacian_matrix_neumann
-from vch_tpu.ops.linsolve import bicgstab, bicgstab_fixed, make_spectral_op_1d
+from vch_tpu.ops.linsolve import bicgstab_split, make_spectral_op_1d
 from vch_tpu.ops.potential import fpp_log
 
 
@@ -99,15 +99,19 @@ class AdjointSolver1D:
 
                 denom = (1.0 - tau * op.lam + 0.5 * dt * op.lam ** 2
                          - 0.5 * dt * fbar * op.lam)
+                inv_sqrt_denom = jax.lax.rsqrt(jnp.abs(denom))
 
-                def apply_M(v):
-                    return ((v @ op.Vinv.T) / denom) @ op.V.T
+                def apply_Phalf(v):
+                    return ((v @ op.Vinv.T) * inv_sqrt_denom) @ op.V.T
 
-                # adaptive Krylov (see adjoint2d: fixed trip counts can
-                # return transiently diverged BiCGStab iterates)
-                p_n = bicgstab(apply_A, rhs, apply_M,
-                               tol=self._krylov_tol, max_iter=200,
-                               x0=p_next)
+                def apply_Phalf_inv(v):
+                    return ((v @ op.Vinv.T) / inv_sqrt_denom) @ op.V.T
+
+                # split-preconditioned Krylov (see adjoint2d: f32 cannot
+                # solve the raw biharmonic-dominated system)
+                p_n = bicgstab_split(apply_A, rhs, apply_Phalf,
+                                     apply_Phalf_inv, tol=self._krylov_tol,
+                                     max_iter=200, x0=p_next)
             else:
                 # A = I - tau L + (dt/2) L^2 - (dt/2) diag(fpp_n) L
                 A = (I - tau * L + 0.5 * dt * L2

@@ -26,7 +26,7 @@ import jax.numpy as jnp
 
 from vch_tpu.config import ForwardSolverConfig2D
 from vch_tpu.ops.laplacian import apply_laplacian_2d
-from vch_tpu.ops.linsolve import bicgstab, make_spectral_op_2d, from_spectral, to_spectral
+from vch_tpu.ops.linsolve import bicgstab_split, make_spectral_op_2d, from_spectral, to_spectral
 from vch_tpu.ops.potential import fpp_log
 
 
@@ -81,16 +81,23 @@ class AdjointSolver2D:
 
             denom = (1.0 - tau * op.lam + 0.5 * dt * op.lam ** 2
                      - 0.5 * dt * fbar * op.lam)
+            inv_sqrt_denom = jax.lax.rsqrt(jnp.abs(denom))
 
-            def apply_M(v):
-                return from_spectral(op, to_spectral(op, v) / denom)
+            def apply_Phalf(v):
+                return from_spectral(op, to_spectral(op, v) * inv_sqrt_denom)
 
-            # adaptive Krylov: the adjoint operator is biharmonic-dominated
-            # (condition ~1e6) and a fixed trip count can stop on a
-            # transient divergence that the backward sweep then amplifies
-            # (f32 blow-up to 1e14 observed); iterate to tolerance instead.
-            p_n = bicgstab(apply_A, rhs, apply_M, tol=self.krylov_tol,
-                           max_iter=cfg.krylov_max_iter, x0=p_next)
+            def apply_Phalf_inv(v):
+                return from_spectral(op,
+                                     to_spectral(op, v) / inv_sqrt_denom)
+
+            # split-preconditioned Krylov: the raw adjoint operator is
+            # biharmonic-dominated (condition ~1e6) and f32 Krylov on it
+            # stalls at eps*cond = O(1) relative error (observed as a 1e14
+            # blow-up of the backward sweep); conditioning the system before
+            # Krylov keeps iterates O(1)-scaled and restores f32 accuracy.
+            p_n = bicgstab_split(apply_A, rhs, apply_Phalf, apply_Phalf_inv,
+                                 tol=self.krylov_tol,
+                                 max_iter=cfg.krylov_max_iter, x0=p_next)
             q_n = -lap(p_n)
             den = gamma + 0.5 * dt
             r_n = ((gamma - 0.5 * dt) / den * r_next

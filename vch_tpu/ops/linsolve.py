@@ -191,6 +191,34 @@ def bicgstab_fixed(apply_A: Callable, b: jnp.ndarray, apply_M: Callable,
     return out[7]  # best iterate
 
 
+def bicgstab_split(apply_A: Callable, b: jnp.ndarray, apply_Phalf: Callable,
+                   apply_Phalf_inv: Callable, tol: float, max_iter: int,
+                   x0: jnp.ndarray | None = None):
+    """BiCGStab on the SPLIT-preconditioned system P^-1/2 A P^-1/2.
+
+    Right preconditioning leaves Krylov residuals in the RAW system's metric;
+    for operators with a biharmonic (lambda^2) part the raw condition number
+    is ~1e6 and float32 cannot reduce the relative residual below
+    eps * cond = O(1) — the 2D adjoint solve diverged/NaN'd in f32 for
+    exactly this reason. Conditioning the system BEFORE Krylov sees it keeps
+    every iterate O(1)-scaled: achievable accuracy becomes
+    eps * cond(P^-1/2 A P^-1/2) ~ 1e-5.
+
+    apply_Phalf(v)     ~ P^{-1/2} v  (e.g. cosine basis, diag 1/sqrt(denom))
+    apply_Phalf_inv(v) ~ P^{+1/2} v  (used to transform the warm start)
+    Solves A x = b; returns x = P^{-1/2} y.
+    """
+    bt = apply_Phalf(b)
+    y0 = None if x0 is None else apply_Phalf_inv(x0)
+
+    def apply_At(v):
+        return apply_Phalf(apply_A(apply_Phalf(v)))
+
+    y = bicgstab(apply_At, bt, lambda v: v, tol=tol, max_iter=max_iter,
+                 x0=y0)
+    return apply_Phalf(y)
+
+
 # ---------------------------------------------------------------------------
 # 1D Newton Schur solve (dense, batched)
 # ---------------------------------------------------------------------------
