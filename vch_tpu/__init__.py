@@ -30,6 +30,19 @@ Layout:
 
 __version__ = "0.1.0"
 
+# TPU matmuls default to bfloat16 precision for float32 inputs; the cosine
+# eigenbasis transforms and Laplacian applies at the heart of every solve
+# are condition-sensitive (the adjoint operator reaches condition ~1e6) and
+# bf16 passes destroyed the float32 adjoint on-chip (NaN) while the same
+# code was exact on CPU. Scientific solves need true f32 accumulation;
+# override via VCH_MATMUL_PRECISION=default for experiments.
+import os as _os
+
+import jax as _jax
+
+_jax.config.update("jax_default_matmul_precision",
+                   _os.environ.get("VCH_MATMUL_PRECISION", "highest"))
+
 from vch_tpu.config import (  # noqa: F401
     ForwardSolverConfig1D,
     ForwardSolverConfig2D,
