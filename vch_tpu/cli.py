@@ -166,7 +166,9 @@ def cmd_optimize1d(args):
         opt = OptimizationConfig()
     from vch_tpu.control.problems import ControlProblem1D
     prob = ControlProblem1D(fwd, opt, choice_t=args.target,
-                            choice_q=args.tracking)
+                            choice_q=args.tracking,
+                            gradient_mode=getattr(args, "gradient",
+                                                  "reference"))
     res = prob.optimize(max_iter=args.max_iter)
     _post_optimize(args, prob, res, prob.x, prob.phi_T_target, one_d=True)
     if not args.no_artifacts:
@@ -282,6 +284,10 @@ def main(argv=None):
 
     p = sub.add_parser("optimize1d", help="1D PGD optimization (GD_1D)")
     _add_common(p)
+    p.add_argument("--gradient", default="reference",
+                   choices=["reference", "exact"],
+                   help="'reference' = the reference's approximate adjoint; "
+                        "'exact' = implicit-differentiation exact gradient")
     p.set_defaults(fn=cmd_optimize1d)
 
     p = sub.add_parser("optimize2d", help="2D PGD optimization (GD2)")
