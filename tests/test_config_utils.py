@@ -95,3 +95,21 @@ def test_phase_timers_report():
     text = t.report()
     assert "solve" in text
     assert t.counts["solve"] == 2
+
+
+def test_cli_show_control(tmp_path, capsys):
+    """CLI smoke test: the read-data-file equivalent."""
+    import numpy as np
+    from vch_tpu.cli import main
+    p = str(tmp_path / "u.npy")
+    np.save(p, np.zeros((5, 9)))
+    assert main(["show-control", p]) == 0
+    out = capsys.readouterr().out
+    assert "sparsity=100.00% zeros" in out
+
+
+def test_cli_parser_has_all_entry_points():
+    from vch_tpu.cli import main
+    import pytest as _pytest
+    with _pytest.raises(SystemExit):
+        main(["--help"])

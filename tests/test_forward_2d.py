@@ -124,3 +124,11 @@ def test_golden_trajectory_parity_2d(solver, golden_2d):
 def test_initial_condition_bit_parity_2d(golden_2d):
     phi0 = init_phi_random_2d(32, 32, DELTA_SEP, amp=0.1, seed=42)
     assert np.array_equal(phi0, golden_2d["phi_hist"][0])
+
+
+def test_energy_history_api(solver):
+    """Vectorized free-energy history (COMPUTE_ENERGY flag parity)."""
+    phi_hist, _, _ = solver.simulate()
+    E = np.asarray(solver.energy_history(phi_hist))
+    assert E.shape == (phi_hist.shape[0],)
+    assert np.diff(E).max() <= 1e-9

@@ -280,6 +280,16 @@ class ForwardSolver1D:
             t_hist = np.concatenate([[0.0], t_hist])
         return phi_hist, self.x, t_hist
 
+    def energy_history(self, phi_hist, w_hist=None, eps=None):
+        """Free energy per stored frame (dissipation diagnostic; the
+        reference computes this ad hoc in tests, Forward_solver.py:243-262)."""
+        from vch_tpu.ops.potential import free_energy_1d
+        cfg = self.config
+        return free_energy_1d(jnp.asarray(phi_hist, self.dtype), cfg.kappa,
+                              cfg.c1, cfg.c2, self.h,
+                              w=None if w_hist is None else jnp.asarray(w_hist, self.dtype),
+                              eps=1e-8 if eps is None else eps)
+
     def newton_residual_history(self, phi_old, mu_old, w_old, w_new, dt):
         """Expose Newton residual norms for convergence-order tests
         (ref API: Forward_solver.py return_residual_history)."""

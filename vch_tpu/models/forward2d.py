@@ -250,6 +250,18 @@ class ForwardSolver2D:
         phi_hist = self._simulate(u, jnp.asarray(phi0, self.dtype))
         return phi_hist, (self.x, self.y), self.t_hist
 
+    def energy_history(self, phi_hist, w_hist=None, eps=None):
+        """Free energy per stored frame (ref COMPUTE_ENERGY flag semantics,
+        Forward2_solver.py:48-50, :552-561 — but vectorized over the whole
+        history instead of per-step prints; energy decrease is the
+        dissipation diagnostic the reference prints as Delta-E)."""
+        from vch_tpu.ops.potential import free_energy_2d
+        cfg = self.config
+        return free_energy_2d(jnp.asarray(phi_hist, self.dtype), cfg.kappa,
+                              cfg.c1, cfg.c2, self.hx, self.hy,
+                              w=None if w_hist is None else jnp.asarray(w_hist, self.dtype),
+                              eps=0.5 * DELTA_SEP if eps is None else eps)
+
     def newton_residual_history(self, phi_old, mu_old, w_old, w_new, dt):
         cfg = self.config
         d = self.dtype
