@@ -73,3 +73,17 @@ def test_exact_gradient_2d_matches_finite_differences():
               - ea.gradient(um, b1=b1, b2=b2, b3=b3)[1]) / (2 * eps)
         pred = g[i, j, k] * wt_t[i] * wxy[j, k]
         assert abs(fd - pred) < 1e-4 * max(abs(fd), 1e-8), (i, j, k, fd, pred)
+
+
+@pytest.mark.slow
+def test_exact_mode_pgd_2d_descends():
+    from vch_tpu.config import ForwardSolverConfig2D
+    from vch_tpu.control.problems import ControlProblem2D
+
+    cfg = ForwardSolverConfig2D(Nx=16, Ny=16, T=0.1)
+    opt = OptimizationConfig.defaults_2d(alpha_max=0.5)
+    prob = ControlProblem2D(cfg, opt, gradient_mode="exact")
+    res = prob.optimize(max_iter=6, verbose=False)
+    ch = np.asarray(res.cost_history)
+    assert (np.diff(ch) <= 1e-12).all()
+    assert ch[-1] < ch[0]

@@ -23,17 +23,26 @@ from vch_tpu.models.forward1d import ForwardSolver1D
 
 
 class ControlProblem2D:
-    """Sparse optimal control of the 2D vCH system (ref: GD2_configured.py)."""
+    """Sparse optimal control of the 2D vCH system (ref: GD2_configured.py).
+
+    gradient_mode: 'reference' (the reference's approximate adjoint, parity)
+    or 'exact' (implicit-differentiation exact gradient,
+    models/adjoint_exact2d.py — no reference analog; 2D has no layout quirk
+    so both modes share the same frame).
+    """
 
     def __init__(self, fwd_config=None, opt_config: Optional[OptimizationConfig] = None,
                  choice_t: int = 1, choice_q: int = 1,
-                 initial_phi: Optional[np.ndarray] = None):
+                 initial_phi: Optional[np.ndarray] = None,
+                 gradient_mode: str = "reference"):
         from vch_tpu.config import ForwardSolverConfig2D
         from vch_tpu.control.cost import calculate_cost_2d
         from vch_tpu.control.targets import build_targets_2d
         from vch_tpu.models.adjoint2d import AdjointSolver2D
         from vch_tpu.models.forward2d import ForwardSolver2D
 
+        assert gradient_mode in ("reference", "exact")
+        self.gradient_mode = gradient_mode
         self.fwd_config = fwd_config or ForwardSolverConfig2D()
         self.opt_config = opt_config or OptimizationConfig.defaults_2d()
         self.solver = ForwardSolver2D(self.fwd_config)
@@ -61,11 +70,21 @@ class ControlProblem2D:
         def forward(u):
             return self.solver._simulate_impl(u, self._phi0_dev)
 
-        def adjoint(phi_hist):
-            _, _, r = self.adjoint._run_impl(
-                phi_hist, self._dts, opt.b1, opt.b2, self.phi_Q_target,
-                self.phi_T_target)
-            return r
+        if gradient_mode == "exact":
+            from vch_tpu.models.adjoint_exact2d import ExactAdjoint2D
+            self._exact = ExactAdjoint2D(self.fwd_config)
+
+            def adjoint(phi_hist_in, u):
+                g, _ = self._exact._grad(
+                    u, self._phi0_dev, opt.b1, opt.b2, opt.b3,
+                    self.phi_Q_target, self.phi_T_target)
+                return g - opt.b3 * u   # loop re-adds b3*u
+        else:
+            def adjoint(phi_hist):
+                _, _, r = self.adjoint._run_impl(
+                    phi_hist, self._dts, opt.b1, opt.b2, self.phi_Q_target,
+                    self.phi_T_target)
+                return r
 
         def cost(phi_hist, u):
             return calculate_cost_2d(
@@ -98,7 +117,11 @@ class ControlProblem2D:
 
         self.loop = ProximalGradientLoop(
             forward, adjoint, cost, opt,
-            settings=PGDSettings.defaults_2d(), error_norms=error_norms)
+            settings=(PGDSettings.defaults_exact()
+                      if gradient_mode == "exact"
+                      else PGDSettings.defaults_2d()),
+            error_norms=error_norms,
+            adjoint_takes_u=(gradient_mode == "exact"))
 
     def initial_control(self):
         return jnp.zeros_like(self.phi_hist0)
