@@ -132,3 +132,16 @@ def test_energy_history_api(solver):
     E = np.asarray(solver.energy_history(phi_hist))
     assert E.shape == (phi_hist.shape[0],)
     assert np.diff(E).max() <= 1e-9
+
+
+def test_forward_matmul_precision_knob():
+    """The forward-precision override produces the same result on CPU
+    (precision only affects TPU lowering) — covers the code path."""
+    cfg = ForwardSolverConfig2D(Nx=16, Ny=16, T=0.05,
+                                forward_matmul_precision="high")
+    s = ForwardSolver2D(cfg)
+    phi_hist, _, _ = s.simulate()
+    s2 = ForwardSolver2D(ForwardSolverConfig2D(Nx=16, Ny=16, T=0.05))
+    phi_hist2, _, _ = s2.simulate()
+    assert np.allclose(np.asarray(phi_hist), np.asarray(phi_hist2),
+                       atol=1e-12)

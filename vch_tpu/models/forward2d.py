@@ -190,6 +190,13 @@ class ForwardSolver2D:
 
     def _simulate_impl(self, u, phi0):
         cfg = self.config
+        if cfg.forward_matmul_precision is not None:
+            with jax.default_matmul_precision(cfg.forward_matmul_precision):
+                return self._simulate_body(u, phi0)
+        return self._simulate_body(u, phi0)
+
+    def _simulate_body(self, u, phi0):
+        cfg = self.config
         dtype = self.dtype
         op = self.op
         wts_h = jnp.asarray(self._wts_h, dtype)
