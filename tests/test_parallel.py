@@ -97,3 +97,20 @@ def test_batched_checkpoint_resume(tmp_path):
     assert np.allclose(resumed["u"], full["u"], atol=1e-12)
     assert np.allclose(resumed["cost_history"][-1], full["cost_history"][-1],
                        rtol=1e-12)
+
+
+def test_batched_2d_matches_single_scenario(golden_2d):
+    """A 2-member batch of the default 32x32 scenario reproduces the golden
+    (reference) cost trajectory, like the 1D batched parity test."""
+    from vch_tpu.config import ForwardSolverConfig2D
+    from vch_tpu.parallel.batch import BatchedProblem2D, sweep_2d
+
+    cfg = ForwardSolverConfig2D(Nx=32, Ny=32, T=0.25)
+    prob = BatchedProblem2D(cfg)
+    sc = sweep_2d(cfg, OptimizationConfig.defaults_2d(),
+                  b3_values=[1e-4, 1e-4], kappa_values=[1e-4])
+    out = prob.run(sc, max_iter=3, verbose=False)
+    ref = golden_2d["cost_traj"]
+    for b in range(2):
+        rel = np.abs(out["cost_history"][:, b] - ref) / np.abs(ref)
+        assert rel.max() < 1e-6, rel
