@@ -15,7 +15,6 @@ match the reference's output set.
 from __future__ import annotations
 
 import argparse
-import json
 import sys
 
 import numpy as np

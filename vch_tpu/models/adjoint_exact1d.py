@@ -35,9 +35,7 @@ import jax.numpy as jnp
 
 from vch_tpu.config import DELTA_SEP, ForwardSolverConfig1D
 from vch_tpu.models.forward1d import ForwardSolver1D, newton_1d, solve_w
-from vch_tpu.models.timegrid import t_history
 from vch_tpu.ops.grids import trapz_weights
-from vch_tpu.ops.potential import regularized_log
 
 
 class ExactAdjoint1D:

@@ -26,7 +26,7 @@ from vch_tpu.models.forward1d import solve_w
 from vch_tpu.models.forward2d import ForwardSolver2D, newton_2d
 from vch_tpu.ops.grids import trapz_weights
 from vch_tpu.ops.laplacian import apply_laplacian_2d
-from vch_tpu.ops.linsolve import bicgstab, bicgstab_fixed, from_spectral, to_spectral
+from vch_tpu.ops.linsolve import bicgstab, bicgstab_fixed
 
 
 class ExactAdjoint2D:

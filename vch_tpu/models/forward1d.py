@@ -28,7 +28,7 @@ import jax.numpy as jnp
 
 from vch_tpu.config import DELTA_SEP, ForwardSolverConfig1D
 from vch_tpu.models.timegrid import build_dt_schedule, t_history
-from vch_tpu.ops.grids import grid_1d, trapz_weights
+from vch_tpu.ops.grids import grid_1d
 from vch_tpu.ops.laplacian import laplacian_matrix_neumann
 from vch_tpu.ops.linsolve import (make_spectral_op_1d,
     newton_schur_solve_1d, newton_schur_solve_1d_spectral)

@@ -33,7 +33,6 @@ from __future__ import annotations
 from functools import partial
 from typing import Callable, NamedTuple
 
-import numpy as np
 import jax
 import jax.numpy as jnp
 

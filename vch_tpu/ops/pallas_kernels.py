@@ -20,8 +20,6 @@ CPU/tests run the same kernels with interpret=True (no TPU required).
 """
 from __future__ import annotations
 
-import functools
-
 import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl

@@ -11,7 +11,7 @@ The reference's only tracing is printed wall-clock accumulators
 from __future__ import annotations
 
 from contextlib import contextmanager
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 
 
 @contextmanager
