@@ -51,9 +51,14 @@ def main():
     from vch_tpu.config import ForwardSolverConfig2D
     from vch_tpu.parallel.batch import BatchedProblem2D, sweep_2d
 
+    # 'high' (bf16x3) on the diagonally-dominant forward solve: descent
+    # verified on-chip, 16% faster than 'highest' (306x vs 265x baseline).
+    # The adjoint always keeps full f32 precision (package global).
+    fwd_prec = os.environ.get("VCH_BENCH_FWD_PRECISION", "high") or None
     cfg = ForwardSolverConfig2D(
         Nx=N, Ny=N, T=1.0, dtype=dtype,
-        newton_tol=2e-4 if dtype == "float32" else 1e-6)
+        newton_tol=2e-4 if dtype == "float32" else 1e-6,
+        forward_matmul_precision=fwd_prec)
     prob = BatchedProblem2D(cfg)
     b3s = np.linspace(5e-5, 2e-4, max(1, B // 4))
     kss = np.linspace(5e-5, 2e-4, 4)[: max(1, min(4, B))]
