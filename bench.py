@@ -89,6 +89,15 @@ def main():
 
     value = B * iters / elapsed
 
+    # BASELINE.md primary counter: Newton solves/s/chip (estimate — each PGD
+    # iteration runs ~2 full forwards [optimistic + adjoint-equivalent work]
+    # of M time steps at ~3 Newton iterations each)
+    from vch_tpu.utils.profiling import SolveCounters
+    counters = SolveCounters(time_steps=prob.solver.M, batch=B,
+                             newton_iters_per_step=3.0)
+    counters.record(pgd_iters=iters, elapsed_s=elapsed, mean_trials=2.0)
+    print(f"[bench] {counters.summary()}", file=sys.stderr)
+
     baseline = None
     try:
         with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
