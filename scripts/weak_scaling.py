@@ -1,0 +1,106 @@
+"""Weak-scaling harness for multi-chip / multi-host scenario batches.
+
+BASELINE.md north-star: >=80% weak-scaling efficiency at >=2 hosts. This
+script fixes the PER-DEVICE scenario count and measures batched-PGD
+scenario-iterations/s as the mesh grows; efficiency(n) =
+throughput(n) / (n * throughput(1)).
+
+Usage:
+  single host (all local devices):
+      python scripts/weak_scaling.py --per-device 4 --iters 3
+  multi-host pod slice (run on every host; jax.distributed auto-discovers):
+      python scripts/weak_scaling.py --distributed --per-device 4
+
+  CPU virtual-device validation (8 fake devices):
+      JAX_PLATFORMS=cpu XLA_FLAGS=--xla_force_host_platform_device_count=8 \
+          python scripts/weak_scaling.py --cpu --n 16 --T 0.05
+
+The batch axis is sharded with NamedSharding over every device (ICI within
+a host, DCN across hosts); the PGD iteration is embarrassingly parallel per
+member except for the host-side line-search mask reduction, so efficiency
+is dominated by compile-identical program reuse and host sync.
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
+                      os.path.join(REPO, ".jax_cache"))
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--per-device", type=int, default=4)
+    ap.add_argument("--iters", type=int, default=3)
+    ap.add_argument("--n", type=int, default=64)
+    ap.add_argument("--T", type=float, default=1.0)
+    ap.add_argument("--distributed", action="store_true",
+                    help="initialize jax.distributed (multi-host)")
+    ap.add_argument("--cpu", action="store_true",
+                    help="force CPU (virtual-device validation)")
+    args = ap.parse_args()
+
+    import jax
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
+    if args.distributed:
+        from vch_tpu.parallel.mesh import initialize_distributed
+        initialize_distributed()
+
+    import numpy as np
+    from vch_tpu.config import ForwardSolverConfig2D
+    from vch_tpu.parallel.batch import BatchedProblem2D, sweep_2d
+    from vch_tpu.parallel.mesh import make_mesh
+
+    devices = jax.devices()
+    n_dev = len(devices)
+    dtype = "float64" if args.cpu else "float32"
+    if dtype == "float64":
+        jax.config.update("jax_enable_x64", True)
+    cfg = ForwardSolverConfig2D(
+        Nx=args.n, Ny=args.n, T=args.T, dtype=dtype,
+        newton_tol=2e-4 if dtype == "float32" else 1e-6,
+        forward_matmul_precision="high" if dtype == "float32" else None)
+
+    results = {}
+    sizes = sorted({1, max(1, n_dev // 2), n_dev})
+    for nd in sizes:
+        mesh = make_mesh(n_devices=nd)
+        B = args.per_device * nd
+        prob = BatchedProblem2D(cfg, mesh=mesh)
+        import dataclasses
+        sc = sweep_2d(cfg, b3_values=np.linspace(1e-4, 2e-4, max(1, B // 2)),
+                      kappa_values=[1e-4, 2e-4][: max(1, min(2, B))])
+        reps = -(-B // sc.batch)
+        tile = lambda a: np.concatenate([a] * reps, axis=0)[:B]
+        sc = dataclasses.replace(
+            sc, phi0=tile(sc.phi0), phi_T=tile(sc.phi_T), phi_Q=tile(sc.phi_Q),
+            b1=tile(sc.b1), b2=tile(sc.b2), b3=tile(sc.b3),
+            kappa_spar=tile(sc.kappa_spar))
+        prob.run(sc, max_iter=1, verbose=False)       # compile
+        t0 = time.perf_counter()
+        out = prob.run(sc, max_iter=args.iters, verbose=False)
+        el = time.perf_counter() - t0
+        assert np.all(np.isfinite(out["cost_history"]))
+        results[nd] = {"devices": nd, "batch": B,
+                       "scenario_iters_per_s": round(B * args.iters / el, 4)}
+        print(json.dumps(results[nd]), flush=True)
+
+    base = results[sizes[0]]["scenario_iters_per_s"] / sizes[0]
+    for nd in sizes[1:]:
+        eff = results[nd]["scenario_iters_per_s"] / (nd * base)
+        results[nd]["weak_scaling_efficiency"] = round(eff, 3)
+        print(f"devices={nd}: weak-scaling efficiency {eff:.1%}")
+
+    with open(os.path.join(REPO, "WEAK_SCALING.json"), "w") as f:
+        json.dump(results, f, indent=1)
+
+
+if __name__ == "__main__":
+    main()
