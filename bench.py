@@ -51,9 +51,8 @@ def main():
     from vch_tpu.config import ForwardSolverConfig2D
     from vch_tpu.parallel.batch import BatchedProblem2D, sweep_2d
 
-    # 'high' (bf16x3) on the diagonally-dominant forward solve: descent
-    # verified on-chip, 16% faster than 'highest' (306x vs 265x baseline).
-    # The adjoint always keeps full f32 precision (package global).
+    # f32 forward solves auto-resolve to 'high' matmul precision (descent
+    # verified on-chip, 16% faster than 'highest'); override here if needed.
     fwd_prec = os.environ.get("VCH_BENCH_FWD_PRECISION", "high") or None
     cfg = ForwardSolverConfig2D(
         Nx=N, Ny=N, T=1.0, dtype=dtype,

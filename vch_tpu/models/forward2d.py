@@ -172,6 +172,14 @@ class ForwardSolver2D:
         # f32/TPU path: fixed-trip Krylov (smaller program, no barriers)
         self._krylov_fixed = (None if self.dtype == jnp.float64
                               else cfg.krylov_fixed_iters)
+        # Forward matmul precision: explicit knob wins; f32 defaults to
+        # 'high' (bf16x3, ~f32-accurate on the diagonally-dominant forward
+        # system; validated by batch descent + reference-optimum landing)
+        # because 6-pass 'highest' makes 128x128+ compiles pathological.
+        # The adjoint always keeps the package-global full precision.
+        self._fwd_precision = (cfg.forward_matmul_precision
+                               or ("high" if self.dtype == jnp.float32
+                                   else None))
         self.dts = build_dt_schedule(cfg.T, cfg.dt_initial)
         self.t_hist = t_history(self.dts, cfg.T)
         self.M = len(self.dts)
@@ -189,9 +197,8 @@ class ForwardSolver2D:
         return -cfg.kappa * lap + f_prime(phi, cfg.c1, cfg.c2, DELTA_SEP) - w
 
     def _simulate_impl(self, u, phi0):
-        cfg = self.config
-        if cfg.forward_matmul_precision is not None:
-            with jax.default_matmul_precision(cfg.forward_matmul_precision):
+        if self._fwd_precision is not None:
+            with jax.default_matmul_precision(self._fwd_precision):
                 return self._simulate_body(u, phi0)
         return self._simulate_body(u, phi0)
 
