@@ -88,14 +88,15 @@ def main():
 
     value = B * iters / elapsed
 
-    # BASELINE.md primary counter: Newton solves/s/chip (estimate — each PGD
-    # iteration runs ~2 full forwards [optimistic + adjoint-equivalent work]
-    # of M time steps at ~3 Newton iterations each)
+    # BASELINE.md primary counter: Newton solves/s/chip, MEASURED from the
+    # Newton while_loop trip counts accumulated across every forward solve
+    # the timed run performed (baseline forward + all line-search trials).
     from vch_tpu.utils.profiling import SolveCounters
-    counters = SolveCounters(time_steps=prob.solver.M, batch=B,
-                             newton_iters_per_step=3.0)
-    counters.record(pgd_iters=iters, elapsed_s=elapsed, mean_trials=2.0)
+    counters = SolveCounters(time_steps=prob.solver.M, batch=B)
+    counters.record(pgd_iters=iters, elapsed_s=elapsed,
+                    newton_solves=int(out["newton_solves"]))
     print(f"[bench] {counters.summary()}", file=sys.stderr)
+    print(f"[bench] timers {out['timers']}", file=sys.stderr)
 
     baseline = None
     try:

@@ -14,6 +14,7 @@ from vch_tpu.ops.laplacian import apply_laplacian_2d
 from vch_tpu.ops.linsolve import from_spectral, make_spectral_op_2d, to_spectral
 from vch_tpu.ops.pallas_kernels import (
     adjoint_apply_pallas,
+    bicgstab_schur_pallas,
     schur_apply_pallas,
     spectral_solve_pallas,
 )
@@ -71,3 +72,69 @@ def test_schur_apply_vmaps_over_batch():
     ref = jax.vmap(lambda dd, vv: (1 / dt) * vv
                    - lap((tau / dt + dd) * vv - 0.5 * kappa * lap(vv)))(db, vb)
     assert float(jnp.abs(got - ref).max()) < 1e-10
+
+
+def test_fused_bicgstab_schur_matches_bicgstab_fixed():
+    """The fused whole-solve kernel must reproduce ops/linsolve.bicgstab_fixed
+    exactly (same update recurrence, freeze floor, best-iterate tracking)."""
+    from vch_tpu.ops.linsolve import newton_schur_solve_2d
+
+    op, _, _, rng = _setup()
+    phi = jnp.asarray(np.clip(0.3 * rng.standard_normal(op.lam.shape),
+                              -0.9, 0.9))
+    Rphi = jnp.asarray(rng.standard_normal(op.lam.shape))
+    Rmu = jnp.asarray(rng.standard_normal(op.lam.shape))
+    kw = dict(dt=1e-2, tau=0.05, c1=0.75, kappa=1e-4, delta_sep=1e-2)
+    d1, m1 = newton_schur_solve_2d(op, phi, Rphi, Rmu, fixed_iters=8, **kw)
+    d2, m2 = newton_schur_solve_2d(op, phi, Rphi, Rmu, fixed_iters=8,
+                                   use_pallas=True, pallas_interpret=True,
+                                   **kw)
+    assert float(jnp.linalg.norm(d1 - d2)) <= 1e-12 * float(jnp.linalg.norm(d1))
+    assert float(jnp.linalg.norm(m1 - m2)) <= 1e-12 * float(jnp.linalg.norm(m1))
+
+
+def test_fused_bicgstab_schur_solves_system():
+    """And the solve itself must actually solve S dphi = L Rphi - Rmu."""
+    from functools import partial as _p
+
+    from vch_tpu.ops.laplacian import apply_laplacian_2d
+    from vch_tpu.ops.linsolve import newton_schur_solve_2d
+
+    op, _, _, rng = _setup()
+    phi = jnp.asarray(np.clip(0.3 * rng.standard_normal(op.lam.shape),
+                              -0.9, 0.9))
+    Rphi = jnp.asarray(rng.standard_normal(op.lam.shape))
+    Rmu = jnp.asarray(rng.standard_normal(op.lam.shape))
+    dt, tau, c1, kappa = 1e-2, 0.05, 0.75, 1e-4
+    dphi, _ = newton_schur_solve_2d(op, phi, Rphi, Rmu, dt=dt, tau=tau,
+                                    c1=c1, kappa=kappa, delta_sep=1e-2,
+                                    fixed_iters=30, use_pallas=True,
+                                    pallas_interpret=True)
+    lap = _p(apply_laplacian_2d, op.Lx, op.Ly)
+    d = 2.0 * c1 / (1.0 - jnp.clip(phi * phi, 0.0, 1.0 - 1e-4))
+    Sd = (1.0 / dt) * dphi - lap((tau / dt + d) * dphi - 0.5 * kappa * lap(dphi))
+    rhs = lap(Rphi) - Rmu
+    rel = float(jnp.linalg.norm(Sd - rhs) / jnp.linalg.norm(rhs))
+    assert rel < 1e-8, rel
+
+
+def test_fused_bicgstab_schur_vmaps():
+    """pallas_call's batching rule must map the fused solve over scenarios."""
+    from vch_tpu.ops.linsolve import newton_schur_solve_2d
+
+    op, _, _, rng = _setup(N=16)
+    B = 3
+    shape = (B,) + op.lam.shape
+    phi = jnp.asarray(np.clip(0.3 * rng.standard_normal(shape), -0.9, 0.9))
+    Rphi = jnp.asarray(rng.standard_normal(shape))
+    Rmu = jnp.asarray(rng.standard_normal(shape))
+    kw = dict(dt=1e-2, tau=0.05, c1=0.75, kappa=1e-4, delta_sep=1e-2)
+
+    fn = lambda p, a, b: newton_schur_solve_2d(
+        op, p, a, b, fixed_iters=8, use_pallas=True, pallas_interpret=True,
+        **kw)
+    d_batched, m_batched = jax.vmap(fn)(phi, Rphi, Rmu)
+    for i in range(B):
+        d_i, m_i = fn(phi[i], Rphi[i], Rmu[i])
+        assert float(jnp.linalg.norm(d_batched[i] - d_i)) <= \
+            1e-12 * float(jnp.linalg.norm(d_i))

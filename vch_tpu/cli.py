@@ -209,6 +209,17 @@ def cmd_optimize2d(args):
                             choice_q=args.tracking)
     res = prob.optimize(max_iter=args.max_iter)
     _post_optimize(args, prob, res, prob.x, prob.phi_T_target, one_d=False)
+    # natural-evolution comparison re-run (ref GD2_configured.py:387): show
+    # how far the UNCONTROLLED system ends from the target vs the controlled
+    phi_nat_hist, _, _ = prob.solver.simulate(initial_phi=prob.phi0)
+    phi_nat = np.asarray(phi_nat_hist[-1])
+    tgt = np.asarray(prob.phi_T_target)
+    nrm = np.linalg.norm
+    err_nat = nrm(phi_nat - tgt) / max(nrm(tgt), 1e-12)
+    err_ctl = nrm(res.phi_final[-1] - tgt) / max(nrm(tgt), 1e-12)
+    print(f"Natural evolution terminal error {err_nat:.4f} vs "
+          f"controlled {err_ctl:.4f} "
+          f"(improvement {(1 - err_ctl / max(err_nat, 1e-12)) * 100:.1f}%)")
     if not args.no_artifacts:
         from vch_tpu.viz import (plot_comparison_panels_2d,
                                  plot_mid_slice_comparison_2d,

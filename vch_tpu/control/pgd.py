@@ -27,6 +27,7 @@ from __future__ import annotations
 
 import time
 from dataclasses import dataclass
+from functools import partial
 from typing import Callable, Optional
 
 import numpy as np
@@ -192,19 +193,37 @@ class ProximalGradientLoop:
         self._trial = jax.jit(_trial)
         self._metrics = jax.jit(_metrics)
 
-    def _iteration_host(self, u_k, phi_k, cost_k, alpha_prev):
+    def _iteration_host(self, u_k, phi_k, cost_k, alpha_prev,
+                        timers: Optional[dict] = None):
         """Host-driven optimistic + backtracking search; same trial
-        sequence as optimistic_backtracking_search."""
+        sequence as optimistic_backtracking_search. When `timers` is given,
+        accumulates the reference's phase accounting (GD_1D.py:323-331):
+        backward_total, optimistic_eval_total, line_search_total,
+        successful_step_total."""
         s = self.s
+        t0 = time.perf_counter()
         r_k, grad = self._adjoint_grad(phi_k, u_k)
+        jax.block_until_ready(grad)
+        t1 = time.perf_counter()
+        if timers is not None:
+            timers["backward_total"] += t1 - t0
         max_trials = 1 + s.ls_max_trials
         alpha = alpha_prev
         j = 0
         while True:
+            tt = time.perf_counter()
             u_t, phi_t, c_t = self._trial(u_k, grad, alpha)
             c = float(c_t)
+            trial_time = time.perf_counter() - tt
             j += 1
             ok = c < cost_k
+            if timers is not None:
+                if j == 1:
+                    timers["optimistic_eval_total"] += trial_time
+                else:
+                    timers["line_search_total"] += trial_time
+                if ok:
+                    timers["successful_step_total"] += trial_time
             nxt = (alpha_prev * s.ls_alpha_factor if j == 1
                    else alpha * s.ls_beta)
             alpha_report = alpha if ok else nxt
@@ -251,8 +270,11 @@ class ProximalGradientLoop:
 
         cost_history = [cost_k]
         alpha_history, track_hist, term_hist, ls_trials = [], [], [], []
+        # phase accumulators matching the reference's time study
+        # (GD_1D.py:323-331, :563-576)
         timers = {"total_optimization": 0.0, "backward_total": 0.0,
-                  "iteration_total": 0.0}
+                  "line_search_total": 0.0, "optimistic_eval_total": 0.0,
+                  "successful_step_total": 0.0, "iteration_total": 0.0}
         plateau_counter = 0
         successful_optimistic_alphas: list = []
         self._advisor_last_avg = 0.0
@@ -261,8 +283,10 @@ class ProximalGradientLoop:
         r_k = jnp.zeros_like(u_k)
         final_iters = max_iter
 
-        step_fn = (self._iteration_host if self.search_mode == "host"
-                   else self._iteration)
+        if self.search_mode == "host":
+            step_fn = partial(self._iteration_host, timers=timers)
+        else:
+            step_fn = self._iteration
         t_start = time.perf_counter()
         for k in range(max_iter):
             it0 = time.perf_counter()
@@ -323,6 +347,21 @@ class ProximalGradientLoop:
                 break
 
         timers["total_optimization"] = time.perf_counter() - t_start
+        if verbose and self.search_mode == "host":
+            # time-study report (ref GD_1D.py:563-576 / GD2_configured.py:402-415)
+            tot = timers["total_optimization"]
+            print("\n--- COMPUTATIONAL TIME STUDY ---")
+            print(f"Total optimization time:   {tot:8.2f} s")
+            for key, label in (("backward_total", "Backward (adjoint) solves"),
+                               ("optimistic_eval_total", "Optimistic evals"),
+                               ("line_search_total", "Backtracking searches"),
+                               ("successful_step_total", "Accepted steps")):
+                v = timers[key]
+                pct = 100.0 * v / tot if tot > 0 else 0.0
+                print(f"{label:<26} {v:8.2f} s ({pct:4.1f}%)")
+            if ls_trials:
+                print(f"Line-search trials: total {sum(ls_trials)}, "
+                      f"mean {np.mean(ls_trials):.2f}, max {max(ls_trials)}")
         advisor = (float(np.mean(successful_optimistic_alphas))
                    if successful_optimistic_alphas else None)
         return PGDResult(

@@ -20,7 +20,7 @@ additionally reproduces the reference's duplicated t=0 history row
 from __future__ import annotations
 
 from functools import partial
-from typing import Optional
+from typing import NamedTuple, Optional
 
 import numpy as np
 import jax
@@ -43,6 +43,22 @@ def solve_w(w_old, dt, gamma, u_n, u_np1):
     """Closed-form CN update of the control filter gamma*w_t + w = u."""
     gamma_dt = gamma / dt
     return ((gamma_dt - 0.5) * w_old + 0.5 * (u_np1 + u_n)) / (gamma_dt + 0.5)
+
+
+class MarchStats(NamedTuple):
+    """Measured per-run counters from the time marcher.
+
+    newton_solves: total Newton linear solves across all time steps (the
+        honest denominator-free count behind BASELINE.md's Newton-solves/s —
+        measured from the while_loop trip counts, not estimated).
+    first_bad_step: index of the first time step whose mass defect went
+        non-finite, or -1. Mirrors the reference's runtime sanitizer
+        (Forward_solver.py:166-172) as a jit-safe error channel; the host
+        API raises RuntimeError when it is >= 0.
+    """
+
+    newton_solves: jnp.ndarray
+    first_bad_step: jnp.ndarray
 
 
 def mu_residual(L, phi_new, phi_old, mu_new, mu_old, dt):
@@ -79,10 +95,13 @@ def _step_ceiling_1d(phi, dphi, delta_sep):
 def newton_1d(L, phi_old, mu_old, w_old, w_new, dt, tau, c1, c2, kappa,
               delta_sep, tol, max_iter, record_history: bool = False,
               rtol: float = 0.0, stagnation_exit: bool = False,
-              spectral_op=None, krylov_fixed=None, krylov_tol: float = 1e-9):
+              spectral_op=None, krylov_fixed=None, krylov_tol: float = 1e-9,
+              return_iters: bool = False):
     """Monolithic Newton on (phi, mu) via exact Schur solve.
 
-    Returns (phi, mu) or (phi, mu, residual_norms) with norms padded by NaN.
+    Returns (phi, mu) or (phi, mu, residual_norms) with norms padded by NaN;
+    return_iters=True appends the measured iteration count k (the loop's
+    trip count, the honest unit behind BASELINE.md's Newton-solves/s).
     Replicates the reference's control flow: convergence test at the top,
     step ceiling, Armijo with in-bounds guard, termination on line-search
     failure (Forward_solver.py:139-235).
@@ -128,7 +147,7 @@ def newton_1d(L, phi_old, mu_old, w_old, w_new, dt, tau, c1, c2, kappa,
     big = jnp.asarray(jnp.inf, dtype)
 
     def body(carry):
-        phi, mu, hist, k, done, norm0, prev_norm = carry
+        phi, mu, hist, k, done, norm0, prev_norm, nsolve = carry
         norm_R, Rphi, Rmu = resid(phi, mu)
         if record_history:
             hist = hist.at[k].set(norm_R)
@@ -154,14 +173,19 @@ def newton_1d(L, phi_old, mu_old, w_old, w_new, dt, tau, c1, c2, kappa,
         phi_n, mu_n, failed = jax.lax.cond(
             converged, lambda a: (a[0], a[1], jnp.asarray(False)),
             take_step, (phi, mu))
-        return (phi_n, mu_n, hist, k + 1, converged | failed, norm0, norm_R)
+        nsolve = nsolve + jnp.where(converged, 0, 1).astype(jnp.int32)
+        return (phi_n, mu_n, hist, k + 1, converged | failed, norm0, norm_R,
+                nsolve)
 
     init = (phi_old, mu_old, hist0, jnp.asarray(0, jnp.int32),
-            jnp.asarray(False), big, big)
-    phi, mu, hist, _, _, _, _ = jax.lax.while_loop(cond, body, init)
+            jnp.asarray(False), big, big, jnp.asarray(0, jnp.int32))
+    phi, mu, hist, _, _, _, _, k = jax.lax.while_loop(cond, body, init)
+    out = (phi, mu)
     if record_history:
-        return phi, mu, hist
-    return phi, mu
+        out = out + (hist,)
+    if return_iters:
+        out = out + (k,)
+    return out
 
 
 def _residual_norm_and_parts(L, phi_old, mu_old, w_new, w_old, dt, tau, c1,
@@ -201,7 +225,8 @@ class ForwardSolver1D:
                               else cfg.krylov_fixed_iters)
         self._krylov_tol = (cfg.krylov_tol if self.dtype == jnp.float64
                             else max(cfg.krylov_tol, 1e-6))
-        self._simulate = jax.jit(self._simulate_impl)
+        self._simulate = jax.jit(self._march_impl)
+        self.last_stats: Optional[MarchStats] = None
 
     # -- initial state ----------------------------------------------------
     def default_initial_phi(self) -> np.ndarray:
@@ -216,6 +241,11 @@ class ForwardSolver1D:
 
     # -- core jitted simulation ------------------------------------------
     def _simulate_impl(self, u, phi0):
+        """Trajectory only (stats dropped) — the shape-stable inner API."""
+        phi_hist, _ = self._march_impl(u, phi0)
+        return phi_hist
+
+    def _march_impl(self, u, phi0):
         cfg = self.config
         dtype = self.dtype
         L = jnp.asarray(self._L_np, dtype)
@@ -229,24 +259,34 @@ class ForwardSolver1D:
         m0 = jnp.dot(wts_h, phi0)
 
         def step(carry, inp):
-            phi, mu, w = carry
+            phi, mu, w, nsolve, first_bad, idx = carry
             u_n, u_np1, dt = inp
             w_new = solve_w(w, dt, gamma, u_n, u_np1)
-            phi_new, mu_new = newton_1d(L, phi, mu, w, w_new, dt, tau, c1,
-                                        c2, kappa, DELTA_SEP, cfg.newton_tol,
-                                        cfg.newton_max_iter, rtol=self._rtol,
-                                        stagnation_exit=self._stagnation,
-                                        spectral_op=self._op1d,
-                                        krylov_fixed=self._krylov_fixed,
-                                        krylov_tol=self._krylov_tol)
+            phi_new, mu_new, k = newton_1d(
+                L, phi, mu, w, w_new, dt, tau, c1,
+                c2, kappa, DELTA_SEP, cfg.newton_tol,
+                cfg.newton_max_iter, rtol=self._rtol,
+                stagnation_exit=self._stagnation,
+                spectral_op=self._op1d,
+                krylov_fixed=self._krylov_fixed,
+                krylov_tol=self._krylov_tol, return_iters=True)
             phi_c = jnp.clip(phi_new, -1.0 + DELTA_SEP, 1.0 - DELTA_SEP)
             mass_error = jnp.dot(wts_h, phi_c) - m0
+            # runtime sanitizer (ref Forward_solver.py:166-172): flag the
+            # first step whose mass defect is non-finite
+            bad = ~jnp.isfinite(mass_error)
+            first_bad = jnp.where((first_bad < 0) & bad, idx, first_bad)
             phi_c = phi_c - mass_error / cfg.Lx
-            return (phi_c, mu_new, w_new), phi_c
+            return (phi_c, mu_new, w_new, nsolve + k, first_bad,
+                    idx + 1), phi_c
 
         inputs = (u[:-1], u[1:], dts)
-        (_, _, _), phis = jax.lax.scan(step, (phi0, mu0, w0), inputs)
-        return jnp.concatenate([phi0[None], phis], axis=0)
+        carry0 = (phi0, mu0, w0, jnp.asarray(0, jnp.int32),
+                  jnp.asarray(-1, jnp.int32), jnp.asarray(0, jnp.int32))
+        (_, _, _, nsolve, first_bad, _), phis = jax.lax.scan(
+            step, carry0, inputs)
+        phi_hist = jnp.concatenate([phi0[None], phis], axis=0)
+        return phi_hist, MarchStats(nsolve, first_bad)
 
     # -- public API -------------------------------------------------------
     def simulate(self, control: Optional[np.ndarray] = None,
@@ -273,7 +313,15 @@ class ForwardSolver1D:
                 u = u[: self.M + 1]
             assert u.shape == (self.M + 1, n), (
                 f"control must be (M+1, N+1) = ({self.M+1}, {n}); got {u.shape}")
-        phi_hist = self._simulate(u, jnp.asarray(phi0, self.dtype))
+        phi_hist, stats = self._simulate(u, jnp.asarray(phi0, self.dtype))
+        self.last_stats = MarchStats(*map(np.asarray, stats))
+        bad = int(stats.first_bad_step)
+        if bad >= 0:
+            # reference behavior: RuntimeError at the offending step
+            # (Forward_solver.py:166-172)
+            raise RuntimeError(
+                f"Non-finite mass defect at time step {bad} — solution "
+                f"diverged (see Forward_solver.py:166-172 semantics).")
         t_hist = self.t_hist
         if ref_layout:
             phi_hist = jnp.concatenate([phi_hist[:1], phi_hist], axis=0)

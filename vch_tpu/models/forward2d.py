@@ -26,7 +26,7 @@ import jax
 import jax.numpy as jnp
 
 from vch_tpu.config import DELTA_SEP, ForwardSolverConfig2D
-from vch_tpu.models.forward1d import solve_w
+from vch_tpu.models.forward1d import MarchStats, solve_w
 from vch_tpu.models.timegrid import build_dt_schedule, t_history
 from vch_tpu.ops.grids import grid_2d
 from vch_tpu.ops.laplacian import apply_laplacian_2d
@@ -66,11 +66,15 @@ def newton_2d(op, phi_old, mu_old, w_old, w_new, dt, tau, c1, c2, kappa,
               delta_sep, tol, max_iter, krylov_tol, krylov_max_iter,
               mu_init, record_history: bool = False,
               rtol: float = 0.0, stagnation_exit: bool = False,
-              krylov_fixed: int | None = None):
+              krylov_fixed: int | None = None,
+              return_iters: bool = False, use_pallas: bool = False):
     """2D monolithic Newton with best-trial-fallback Armijo.
 
     rtol / stagnation_exit are the float32 robustness guards described in
-    forward1d.newton_1d (relative convergence + no-progress exit)."""
+    forward1d.newton_1d (relative convergence + no-progress exit).
+    return_iters appends the measured count of Newton linear solves.
+    use_pallas routes the Schur solve through the fused Pallas BiCGStab
+    kernel (ops/pallas_kernels.py) — requires krylov_fixed."""
     dtype = phi_old.dtype
 
     def resid(phi, mu):
@@ -122,7 +126,7 @@ def newton_2d(op, phi_old, mu_old, w_old, w_new, dt, tau, c1, c2, kappa,
     bignorm = jnp.asarray(jnp.inf, dtype)
 
     def body(carry):
-        phi, mu, hist, k, done, norm0, prev_norm = carry
+        phi, mu, hist, k, done, norm0, prev_norm, nsolve = carry
         norm_R, Rphi, Rmu = resid(phi, mu)
         if record_history:
             hist = hist.at[k].set(norm_R)
@@ -138,18 +142,22 @@ def newton_2d(op, phi_old, mu_old, w_old, w_new, dt, tau, c1, c2, kappa,
             dphi, dmu = newton_schur_solve_2d(
                 op, phi, Rphi, Rmu, dt, tau, c1, kappa, delta_sep,
                 tol=krylov_tol, max_iter=krylov_max_iter,
-                fixed_iters=krylov_fixed)
+                fixed_iters=krylov_fixed, use_pallas=use_pallas)
             return armijo(phi, mu, dphi, dmu, norm_R)
 
         phi_n, mu_n = jax.lax.cond(converged, lambda a: a, take_step, (phi, mu))
-        return (phi_n, mu_n, hist, k + 1, converged, norm0, norm_R)
+        nsolve = nsolve + jnp.where(converged, 0, 1).astype(jnp.int32)
+        return (phi_n, mu_n, hist, k + 1, converged, norm0, norm_R, nsolve)
 
     init = (phi_old, mu_init, hist0, jnp.asarray(0, jnp.int32),
-            jnp.asarray(False), bignorm, bignorm)
-    phi, mu, hist, _, _, _, _ = jax.lax.while_loop(cond, body, init)
+            jnp.asarray(False), bignorm, bignorm, jnp.asarray(0, jnp.int32))
+    phi, mu, hist, _, _, _, _, k = jax.lax.while_loop(cond, body, init)
+    out = (phi, mu)
     if record_history:
-        return phi, mu, hist
-    return phi, mu
+        out = out + (hist,)
+    if return_iters:
+        out = out + (k,)
+    return out
 
 
 class ForwardSolver2D:
@@ -183,7 +191,14 @@ class ForwardSolver2D:
         self.dts = build_dt_schedule(cfg.T, cfg.dt_initial)
         self.t_hist = t_history(self.dts, cfg.T)
         self.M = len(self.dts)
-        self._simulate = jax.jit(self._simulate_impl)
+        # Pallas fused-BiCGStab Schur solve: default ON for the f32/TPU
+        # fixed-trip path (measured on-chip; ops/pallas_kernels.py), OFF for
+        # f64/CPU where the adaptive Krylov loop is used instead.
+        self._use_pallas = (cfg.use_pallas if cfg.use_pallas is not None
+                            else (self._krylov_fixed is not None
+                                  and jax.default_backend() == "tpu"))
+        self._simulate = jax.jit(self._march_impl)
+        self.last_stats = None
 
     def default_initial_phi(self) -> np.ndarray:
         """Seed-42 Gaussian IC with interior mass fix, bit-identical to
@@ -197,6 +212,11 @@ class ForwardSolver2D:
         return -cfg.kappa * lap + f_prime(phi, cfg.c1, cfg.c2, DELTA_SEP) - w
 
     def _simulate_impl(self, u, phi0):
+        """Trajectory only (stats dropped) — the shape-stable inner API."""
+        phi_hist, _ = self._march_impl(u, phi0)
+        return phi_hist
+
+    def _march_impl(self, u, phi0):
         if self._fwd_precision is not None:
             with jax.default_matmul_precision(self._fwd_precision):
                 return self._simulate_body(u, phi0)
@@ -217,19 +237,23 @@ class ForwardSolver2D:
         m0 = jnp.sum(wts_h * phi0)
 
         def step(carry, inp):
-            phi, mu, w = carry
+            phi, mu, w, nsolve, first_bad, idx = carry
             u_n, u_np1, dt = inp
             w_new = solve_w(w, dt, gamma, u_n, u_np1)
             mu_init = self.initialize_mu(phi, w_new)
-            phi_new, mu_new = newton_2d(
+            phi_new, mu_new, k = newton_2d(
                 op, phi, mu, w, w_new, dt, tau, c1, c2, kappa, DELTA_SEP,
                 cfg.newton_tol, cfg.newton_max_iter, self.krylov_tol,
                 cfg.krylov_max_iter, mu_init, rtol=self._rtol,
                 stagnation_exit=self._stagnation,
-                krylov_fixed=self._krylov_fixed)
+                krylov_fixed=self._krylov_fixed, return_iters=True,
+                use_pallas=self._use_pallas)
             phi_c = jnp.clip(phi_new, lo, hi)
             # interior-only mass correction (ref :564-577)
             mass_error = jnp.sum(wts_h * phi_c) - m0
+            # runtime sanitizer (ref Forward_solver.py:166-172 analog)
+            bad = ~jnp.isfinite(mass_error)
+            first_bad = jnp.where((first_bad < 0) & bad, idx, first_bad)
             interior = jnp.abs(phi_c) < (1.0 - DELTA_SEP - 5e-3)
             Wint = jnp.sum(jnp.where(interior, wts_h, 0.0))
             corrected = jnp.where(interior, phi_c - mass_error / Wint, phi_c)
@@ -237,11 +261,16 @@ class ForwardSolver2D:
             needs_fix = jnp.abs(mass_error) > 1e-16
             phi_c = jnp.where(needs_fix,
                               jnp.where(Wint > 0, corrected, fallback), phi_c)
-            return (phi_c, mu_new, w_new), phi_c
+            return (phi_c, mu_new, w_new, nsolve + k, first_bad,
+                    idx + 1), phi_c
 
         inputs = (u[:-1], u[1:], dts)
-        (_, _, _), phis = jax.lax.scan(step, (phi0, mu0, w0), inputs)
-        return jnp.concatenate([phi0[None], phis], axis=0)
+        carry0 = (phi0, mu0, w0, jnp.asarray(0, jnp.int32),
+                  jnp.asarray(-1, jnp.int32), jnp.asarray(0, jnp.int32))
+        (_, _, _, nsolve, first_bad, _), phis = jax.lax.scan(
+            step, carry0, inputs)
+        phi_hist = jnp.concatenate([phi0[None], phis], axis=0)
+        return phi_hist, MarchStats(nsolve, first_bad)
 
     def simulate(self, control: Optional[np.ndarray] = None,
                  initial_phi: Optional[np.ndarray] = None):
@@ -261,7 +290,13 @@ class ForwardSolver2D:
             assert u.shape == (self.M + 1,) + shape, (
                 f"control must be (M+1, Nx+1, Ny+1) = {(self.M+1,) + shape}; "
                 f"got {u.shape}")
-        phi_hist = self._simulate(u, jnp.asarray(phi0, self.dtype))
+        phi_hist, stats = self._simulate(u, jnp.asarray(phi0, self.dtype))
+        self.last_stats = MarchStats(*map(np.asarray, stats))
+        bad = int(stats.first_bad_step)
+        if bad >= 0:
+            raise RuntimeError(
+                f"Non-finite mass defect at time step {bad} — solution "
+                f"diverged (see Forward_solver.py:166-172 semantics).")
         return phi_hist, (self.x, self.y), self.t_hist
 
     def energy_history(self, phi_hist, w_hist=None, eps=None):
@@ -286,6 +321,6 @@ class ForwardSolver2D:
             cfg.c2, cfg.kappa, DELTA_SEP, cfg.newton_tol, cfg.newton_max_iter,
             self.krylov_tol, cfg.krylov_max_iter, mu_init, record_history=True,
             rtol=self._rtol, stagnation_exit=self._stagnation,
-            krylov_fixed=self._krylov_fixed)
+            krylov_fixed=self._krylov_fixed, use_pallas=self._use_pallas)
         hist = np.asarray(hist)
         return phi, mu, list(hist[~np.isnan(hist)])

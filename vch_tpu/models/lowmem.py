@@ -69,7 +69,8 @@ class LowMemPipeline2D:
             s.op, phi, mu, w, w_new, dt, cfg.tau, cfg.c1, cfg.c2, cfg.kappa,
             DELTA_SEP, cfg.newton_tol, cfg.newton_max_iter, s.krylov_tol,
             cfg.krylov_max_iter, mu_init, rtol=s._rtol,
-            stagnation_exit=s._stagnation, krylov_fixed=s._krylov_fixed)
+            stagnation_exit=s._stagnation, krylov_fixed=s._krylov_fixed,
+            use_pallas=s._use_pallas)
         phi_c = jnp.clip(phi_new, lo, hi)
         mass_error = jnp.sum(wts_h * phi_c) - m0
         interior = jnp.abs(phi_c) < (1.0 - DELTA_SEP - 5e-3)

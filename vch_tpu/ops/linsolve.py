@@ -310,12 +310,16 @@ def newton_schur_solve_2d(op: SpectralOp2D, phi: jnp.ndarray,
                           dt, tau: float, c1: float, kappa: float,
                           delta_sep: float, tol: float = 1e-9,
                           max_iter: int = 200,
-                          fixed_iters: int | None = None):
+                          fixed_iters: int | None = None,
+                          use_pallas: bool = False,
+                          pallas_interpret: bool = False):
     """2D version of the exact Schur solve; fields are (Nx+1, Ny+1).
 
     The Jacobian diagonal uses the reference's safety clip
     phi^2 <= 1 - delta_sep^2 (Forward2_solver.py:243-244).
-    fixed_iters selects the fixed-trip-count Krylov variant (TPU path).
+    fixed_iters selects the fixed-trip-count Krylov variant (TPU path);
+    use_pallas additionally fuses that whole Krylov solve into ONE Pallas
+    kernel resident in VMEM (ops/pallas_kernels.bicgstab_schur_pallas).
     """
     phi_sq = jnp.clip(phi * phi, 0.0, 1.0 - delta_sep * delta_sep)
     d = 2.0 * c1 / (1.0 - phi_sq)
@@ -327,13 +331,20 @@ def newton_schur_solve_2d(op: SpectralOp2D, phi: jnp.ndarray,
         u = (tau / dt + d) * v - 0.5 * kappa * lap(v)
         return (1.0 / dt) * v - lap(u)
 
+    denom = (1.0 / dt) + 0.5 * kappa * op.lam ** 2 - (tau / dt + dbar) * op.lam
+
     def apply_M(v):
         # exact inverse of S with d replaced by its mean (cosine-diagonal)
-        denom = (1.0 / dt) + 0.5 * kappa * op.lam ** 2 - (tau / dt + dbar) * op.lam
         return from_spectral(op, to_spectral(op, v) / denom)
 
     rhs = lap(Rphi) - Rmu
-    if fixed_iters is not None:
+    if use_pallas and fixed_iters is not None:
+        from vch_tpu.ops.pallas_kernels import bicgstab_schur_pallas
+        dphi = bicgstab_schur_pallas(
+            op.Lx, op.Ly.T, op.Vx_inv, op.Vy_inv.T, op.Vx, op.Vy.T, denom, d,
+            rhs, 1.0 / dt, tau / dt, 0.5 * kappa, n_iter=fixed_iters,
+            interpret=pallas_interpret)
+    elif fixed_iters is not None:
         dphi = bicgstab_fixed(apply_S, rhs, apply_M, n_iter=fixed_iters)
     else:
         dphi = bicgstab(apply_S, rhs, apply_M, tol=tol, max_iter=max_iter)

@@ -109,6 +109,116 @@ def adjoint_apply_pallas(Lx, LyT, fpp, v, tau, half_dt,
     )(scal, Lx, LyT, fpp, v)
 
 
+def _bicgstab_schur_kernel_factory(n_iter: int, eps_mach: float):
+    """Build the fused BiCGStab kernel body for the 2D Newton Schur solve.
+
+    One kernel call = one COMPLETE fixed-trip Krylov solve of S dphi = rhs
+    (ops/linsolve.bicgstab_fixed semantics: freeze at the dtype noise floor,
+    reject non-finite excursions, return the best iterate). Every operand —
+    the field, the four transform matrices, the Laplacian factors, and all
+    Krylov vectors — stays in VMEM for the whole solve; the ~16 small
+    matmuls per iteration run back-to-back on the MXU with zero HBM traffic
+    between them. This is the TPU-native replacement for the role scipy's
+    spsolve plays in the reference (Forward2_solver.py:370), fused end-to-end
+    instead of op-by-op.
+    """
+
+    def kernel(scal_ref, Lx_ref, LyT_ref, Vxi_ref, VyiT_ref, Vx_ref, VyT_ref,
+               denom_ref, d_ref, b_ref, out_ref):
+        inv_dt = scal_ref[0, 0]
+        tau_dt = scal_ref[0, 1]
+        half_kappa = scal_ref[0, 2]
+        Lx = Lx_ref[:]
+        LyT = LyT_ref[:]
+        Vxi = Vxi_ref[:]
+        VyiT = VyiT_ref[:]
+        Vx = Vx_ref[:]
+        VyT = VyT_ref[:]
+        denom = denom_ref[:]
+        dcoef = d_ref[:]
+        b = b_ref[:]
+        dt_ = b.dtype
+
+        def mm(a, c):
+            return jnp.dot(a, c, preferred_element_type=dt_)
+
+        def lap(v):
+            return mm(Lx, v) + mm(v, LyT)
+
+        def apply_S(v):
+            u = (tau_dt + dcoef) * v - half_kappa * lap(v)
+            return inv_dt * v - lap(u)
+
+        def apply_M(v):
+            vhat = mm(mm(Vxi, v), VyiT) / denom
+            return mm(mm(Vx, vhat), VyT)
+
+        dot = lambda a, c: jnp.sum(a * c)
+        eps_div = jnp.asarray(1e-30, dt_)
+        one = jnp.asarray(1.0, dt_)
+        r0 = b  # x0 = 0
+        floor2 = (50.0 * eps_mach) ** 2 * jnp.maximum(dot(b, b), eps_div)
+
+        def body(_, carry):
+            x, r, p, v, rho, alpha, omega, best_x, best_r2 = carry
+            active = dot(r, r) > floor2
+            rho_new = dot(r0, r)
+            beta = (rho_new / (rho + eps_div)) * (alpha / (omega + eps_div))
+            p_n = r + beta * (p - omega * v)
+            phat = apply_M(p_n)
+            v_n = apply_S(phat)
+            alpha_n = rho_new / (dot(r0, v_n) + eps_div)
+            s = r - alpha_n * v_n
+            shat = apply_M(s)
+            t = apply_S(shat)
+            omega_n = dot(t, s) / (dot(t, t) + eps_div)
+            x_n = x + alpha_n * phat + omega_n * shat
+            r_n = s - omega_n * t
+            r2_n = dot(r_n, r_n)
+            ok = active & jnp.isfinite(r2_n)
+            sel = lambda a, bb: jnp.where(ok, a, bb)
+            better = ok & (r2_n < best_r2)
+            best_x = jnp.where(better, x_n, best_x)
+            best_r2 = jnp.where(better, r2_n, best_r2)
+            return (sel(x_n, x), sel(r_n, r), sel(p_n, p), sel(v_n, v),
+                    jnp.where(ok, rho_new, rho), jnp.where(ok, alpha_n, alpha),
+                    jnp.where(ok, omega_n, omega), best_x, best_r2)
+
+        z = jnp.zeros_like(b)
+        init = (z, r0, z, z, one, one, one, z, dot(r0, r0))
+        out = jax.lax.fori_loop(0, n_iter, body, init)
+        out_ref[:] = out[7]
+
+    return kernel
+
+
+def bicgstab_schur_pallas(Lx, LyT, Vx_inv, Vy_inv_T, Vx, VyT, denom, d, rhs,
+                          inv_dt, tau_dt, half_kappa, n_iter: int,
+                          interpret: bool = False):
+    """Fused fixed-trip BiCGStab solve of the 2D Newton Schur system.
+
+    Matches ops/linsolve.bicgstab_fixed(apply_S, rhs, apply_M, n_iter) with
+    x0=0. Shapes: Lx,Vx* (n,n); LyT,Vy* (m,m); denom,d,rhs (n,m). Scalars
+    ride in SMEM so one compiled kernel serves every traced dt. Batching:
+    vmap maps the (n,m) operands over scenarios via pallas_call's batching
+    rule (the operator matrices broadcast).
+    """
+    dtype = rhs.dtype
+    eps_mach = 2.2e-16 if dtype == jnp.float64 else 1.2e-7
+    scal = jnp.stack([jnp.asarray(inv_dt, dtype) + jnp.zeros((), dtype),
+                      jnp.asarray(tau_dt, dtype) + jnp.zeros((), dtype),
+                      jnp.asarray(half_kappa, dtype) + jnp.zeros((), dtype)]
+                     ).reshape(1, 3)
+    kernel = _bicgstab_schur_kernel_factory(int(n_iter), eps_mach)
+    return pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct(rhs.shape, dtype),
+        in_specs=[_smem_spec()] + [_vmem_spec()] * 9,
+        out_specs=_vmem_spec(),
+        interpret=interpret,
+    )(scal, Lx, LyT, Vx_inv, Vy_inv_T, Vx, VyT, denom, d, rhs)
+
+
 def _spectral_solve_kernel(Vxi_ref, VyiT_ref, Vx_ref, VyT_ref, denom_ref,
                            v_ref, out_ref):
     """out = Vx ((Vx^-1 v Vy^-T) / denom) Vy^T — exact poly(L) solve."""

@@ -123,9 +123,9 @@ class _BatchedPGDBase:
 
         def _trial(u, grad, alpha, phi0, phi_Q, phi_T, b1, b2, b3, ks):
             u_t = proximal_step(u, grad, alpha, ks, self.u_min, self.u_max)
-            phi_t = self._forward(u_t, phi0)
+            phi_t, nsolve = self._forward_stats(u_t, phi0)
             c_t = self._cost(phi_t, u_t, phi_Q, phi_T, b1, b2, b3, ks)
-            return u_t, phi_t, c_t
+            return u_t, phi_t, c_t, nsolve
 
         def _merge(take, new, old):
             """Per-member where over a (B,...) pytree given a (B,) mask."""
@@ -144,7 +144,8 @@ class _BatchedPGDBase:
         self._trial_v = self._maybe_shard(jax.vmap(_trial))
         self._merge_v = jax.jit(_merge)
         self._change_v = jax.jit(_change)
-        self._forward_v = self._maybe_shard(jax.vmap(lambda u, p0: self._forward(u, p0)))
+        self._forward_v = self._maybe_shard(
+            jax.vmap(lambda u, p0: self._forward_stats(u, p0)))
         self._cost_v = self._maybe_shard(jax.vmap(self._cost))
 
     def _maybe_shard(self, fn):
@@ -171,19 +172,23 @@ class _BatchedPGDBase:
         opt_ok = np.zeros(B, dtype=bool)
         res = None
         res_alpha = alpha_prev_np.copy()
+        solves = 0
         for j in range(max_trials):
             out = self._trial_v(u, grad, jnp.asarray(alpha_try, dtype),
                                 phi0, phi_Q, phi_T, b1, b2, b3, ks)
             c_np = np.asarray(out[2])
+            # every member executes every round (masked merge); count the
+            # Newton solves actually performed, measured from the while_loops
+            solves += int(np.asarray(out[3]).sum())
             ok = c_np < cost_np
             last = j == max_trials - 1
             nxt = np.where(j == 0, alpha_prev_np * s.ls_alpha_factor,
                            alpha_try * s.ls_beta)
             take = searching & (ok | last)
             if res is None:
-                res = out
+                res = out[:3]
             else:
-                res = self._merge_v(jnp.asarray(take), out, res)
+                res = self._merge_v(jnp.asarray(take), out[:3], res)
             res_alpha = np.where(take, np.where(ok, alpha_try, nxt),
                                  res_alpha)
             n_trials = np.where(searching, j + 1, n_trials)
@@ -194,12 +199,13 @@ class _BatchedPGDBase:
                 break
             alpha_try = np.where(searching, nxt, alpha_try)
         u1, phi1, c1 = res
-        return u1, phi1, np.asarray(c1), res_alpha, n_trials, opt_ok
+        return u1, phi1, np.asarray(c1), res_alpha, n_trials, opt_ok, solves
 
     def run(self, scenarios: ScenarioBatch, max_iter: int,
             verbose: bool = True, dtype=None,
             checkpoint_path: Optional[str] = None,
-            checkpoint_every: int = 0, resume: bool = False):
+            checkpoint_every: int = 0, resume: bool = False,
+            metrics_path: Optional[str] = None):
         """Vectorized PGD over the batch. Per-member plateau detection,
         alpha growth, and convergence freezing mirror the single-scenario
         loop; converged members keep iterating as no-ops (their u no longer
@@ -209,7 +215,18 @@ class _BatchedPGDBase:
         checkpointing (u, alpha, plateau/convergence state, cost history);
         resume=True restarts from the checkpoint, recomputing phi from u
         (the trajectory is a pure function of the control). The reference
-        has no mid-run checkpointing (SURVEY.md section 5)."""
+        has no mid-run checkpointing (SURVEY.md section 5).
+
+        metrics_path: JSONL per-iteration structured metrics (MetricsLogger)
+        — the machine-parseable analog of the reference's printed logs.
+
+        Returns a dict with the optimizer state plus measured counters:
+        newton_solves (total forward Newton linear solves, from the
+        while_loop trip counts) and phase timers (backward / line-search
+        split, ref GD_1D.py:563-576 accounting)."""
+        import time as _time
+        from vch_tpu.utils.metrics import MetricsLogger
+        metrics = MetricsLogger(metrics_path) if metrics_path else None
         dtype = dtype or self.dtype
         B = scenarios.batch
         shard = (self.mesh is not None
@@ -224,12 +241,18 @@ class _BatchedPGDBase:
         b3, ks = as_dev(scenarios.b3), as_dev(scenarios.kappa_spar)
         self.u_min, self.u_max = scenarios.u_min, scenarios.u_max
 
+        timers = {"total_optimization": 0.0, "backward_total": 0.0,
+                  "line_search_total": 0.0}
+        newton_solves = 0
+        t_run0 = _time.perf_counter()
+
         k_start = 0
         if resume and checkpoint_path:
             from vch_tpu.utils.checkpoint import load_checkpoint
             state, meta = load_checkpoint(checkpoint_path)
             u = as_dev(state["u"])
-            phi = self._forward_v(u, phi0)
+            phi, ns0 = self._forward_v(u, phi0)
+            newton_solves += int(np.asarray(ns0).sum())
             alpha = state["alpha"]
             plateau = state["plateau"].astype(int)
             converged = state["converged"].astype(bool)
@@ -241,7 +264,8 @@ class _BatchedPGDBase:
         else:
             # baseline forward per scenario
             u = as_dev(np.zeros((B,) + self._control_shape))
-            phi = self._forward_v(u, phi0)
+            phi, ns0 = self._forward_v(u, phi0)
+            newton_solves += int(np.asarray(ns0).sum())
             cost = self._cost_v(phi, u, phi_Q, phi_T, b1, b2, b3, ks)
             alpha = np.full((B,), self.alpha_max)
             cost_hist = [np.asarray(cost)]
@@ -249,14 +273,29 @@ class _BatchedPGDBase:
             converged = np.zeros(B, dtype=bool)
             iters_to_converge = np.full(B, max_iter, dtype=int)
         s = self.s
+        # per-member alpha advisor state (ref GD_1D.py:388-404, vectorized):
+        # running sum/count of alphas that succeeded optimistically
+        advisor_sum = np.zeros(B)
+        advisor_cnt = np.zeros(B, dtype=int)
 
         for k in range(k_start, max_iter):
+            t0 = _time.perf_counter()
             r, grad = self._adjoint_grad_v(u, phi, b1, b2, b3, phi_Q, phi_T)
+            jax.block_until_ready(grad)
+            t1 = _time.perf_counter()
+            timers["backward_total"] += t1 - t0
+            alpha_prev = alpha.copy()
             u_prev = u
-            u, phi, c_np, a_np, n_trials, opt_ok = self._search(
+            u, phi, c_np, a_np, n_trials, opt_ok, solves = self._search(
                 u, phi, cost_hist[-1], alpha, r, grad, phi0, phi_Q, phi_T,
                 b1, b2, b3, ks, dtype)
+            timers["line_search_total"] += _time.perf_counter() - t1
+            newton_solves += solves
             ch_np = np.asarray(self._change_v(u, u_prev))
+
+            if k >= s.advisor_start_iter:
+                advisor_sum += np.where(opt_ok, alpha_prev, 0.0)
+                advisor_cnt += opt_ok.astype(int)
 
             flat = np.abs(c_np - cost_hist[-1]) < s.plateau_tolerance
             plateau = np.where(flat, plateau + 1, 0)
@@ -273,6 +312,13 @@ class _BatchedPGDBase:
                 print(f"iter {k+1:4d} | mean cost {c_np.mean():.6f} | "
                       f"converged {converged.sum()}/{B} | "
                       f"max trials {int(np.asarray(n_trials).max())}")
+            if metrics:
+                metrics.log("pgd_iter", k=k + 1, mean_cost=float(c_np.mean()),
+                            max_cost=float(c_np.max()),
+                            converged=int(converged.sum()),
+                            max_trials=int(np.asarray(n_trials).max()),
+                            newton_solves=newton_solves,
+                            mean_alpha=float(np.mean(a_np)))
             if (checkpoint_path and checkpoint_every
                     and (k + 1) % checkpoint_every == 0):
                 from vch_tpu.utils.checkpoint import save_checkpoint
@@ -286,10 +332,19 @@ class _BatchedPGDBase:
             if converged.all():
                 break
 
+        timers["total_optimization"] = _time.perf_counter() - t_run0
+        advisor_alpha = np.where(advisor_cnt > 0,
+                                 advisor_sum / np.maximum(advisor_cnt, 1),
+                                 np.nan)
+        if metrics:
+            metrics.log("run_done", timers=timers,
+                        newton_solves=newton_solves)
         return {
             "u": np.asarray(u), "r": np.asarray(r), "phi": np.asarray(phi),
             "cost_history": np.stack(cost_hist), "alpha": np.asarray(alpha),
             "converged": converged, "iterations": iters_to_converge,
+            "newton_solves": newton_solves, "timers": timers,
+            "advisor_alpha": advisor_alpha,
         }
 
 
@@ -315,9 +370,13 @@ class BatchedProblem1D(_BatchedPGDBase):
                          mesh, use_mesh)
 
     def _forward(self, u_ref, phi0):
+        phi, _ = self._forward_stats(u_ref, phi0)
+        return phi
+
+    def _forward_stats(self, u_ref, phi0):
         M = self.solver.M
-        phi = self.solver._simulate_impl(u_ref[: M + 1], phi0)
-        return jnp.concatenate([phi[:1], phi], axis=0)
+        phi, st = self.solver._march_impl(u_ref[: M + 1], phi0)
+        return jnp.concatenate([phi[:1], phi], axis=0), st.newton_solves
 
     def _adjoint(self, phi_ref, b1, b2, phi_Q, phi_T):
         _, _, r = self.adj._run_impl(phi_ref, self._dts_ref, b1, b2,
@@ -331,10 +390,15 @@ class BatchedProblem1D(_BatchedPGDBase):
     def run(self, scenarios: ScenarioBatch, max_iter: int,
             verbose: bool = True, dtype=None, **kwargs):
         # convert core-layout phi_Q (M+1 rows, as sweep_1d builds) to the
-        # reference layout (duplicated t=0 row) this problem operates in
+        # reference layout (duplicated t=0 row) this problem operates in —
+        # on a COPY of the caller's batch (mutating the input made a second
+        # run() double-convert; VERDICT round-1 weak #4)
         pq = scenarios.phi_Q
         if pq.shape[1] == self.solver.M + 1:
-            scenarios.phi_Q = np.concatenate([pq[:, :1], pq], axis=1)
+            import dataclasses
+            scenarios = dataclasses.replace(
+                scenarios,
+                phi_Q=np.concatenate([pq[:, :1], pq], axis=1))
         return super().run(scenarios, max_iter, verbose=verbose, dtype=dtype,
                            **kwargs)
 
@@ -362,6 +426,10 @@ class BatchedProblem2D(_BatchedPGDBase):
 
     def _forward(self, u, phi0):
         return self.solver._simulate_impl(u, phi0)
+
+    def _forward_stats(self, u, phi0):
+        phi, st = self.solver._march_impl(u, phi0)
+        return phi, st.newton_solves
 
     def _adjoint(self, phi_hist, b1, b2, phi_Q, phi_T):
         _, _, r = self.adj._run_impl(phi_hist, self._dts, b1, b2, phi_Q, phi_T)
