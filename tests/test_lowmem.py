@@ -1,16 +1,20 @@
 """Segment-checkpointed (sqrt-schedule) adjoint pipeline tests.
 
 SURVEY.md section 7 'Memory at scale': O(M/K + K) live phi states instead of
-O(M). Gate: the recomputing adjoint reproduces the full-memory adjoint to
-machine precision."""
+O(M). Gates: the recomputing adjoint reproduces the full-memory adjoint to
+machine precision — including non-divisible segment counts and the partial
+final dt — and the lowmem batched PGD matches the full-memory batched PGD
+iteration-for-iteration."""
 import numpy as np
 import pytest
 
-from vch_tpu.config import ForwardSolverConfig2D
-from vch_tpu.control.targets import build_targets_2d
+from vch_tpu.config import ForwardSolverConfig1D, ForwardSolverConfig2D
+from vch_tpu.control.targets import build_targets_1d, build_targets_2d
+from vch_tpu.models.adjoint1d import AdjointSolver1D
 from vch_tpu.models.adjoint2d import AdjointSolver2D
+from vch_tpu.models.forward1d import ForwardSolver1D
 from vch_tpu.models.forward2d import ForwardSolver2D
-from vch_tpu.models.lowmem import LowMemPipeline2D
+from vch_tpu.models.lowmem import LowMemPipeline1D, LowMemPipeline2D
 
 
 @pytest.mark.slow
@@ -34,6 +38,87 @@ def test_lowmem_adjoint_matches_full_memory():
     assert np.abs(r_low - r_full).max() < 1e-12
 
 
-def test_lowmem_requires_divisible_segments():
-    with pytest.raises(AssertionError):
-        LowMemPipeline2D(ForwardSolverConfig2D(Nx=16, Ny=16, T=0.1), K=7)
+def test_lowmem_nondivisible_segments_and_partial_dt():
+    """K need not divide M, and the dt schedule may end in a partial step
+    (T=0.13 with dt=2e-2 gives 7 steps, the last dt=1e-2; K=3 -> 2 full
+    segments + a 1-step tail)."""
+    cfg = ForwardSolverConfig2D(Nx=16, Ny=16, T=0.13, dt_initial=2e-2)
+    s = ForwardSolver2D(cfg)
+    assert s.M % 3 != 0 and not np.allclose(s.dts, s.dts[0])
+    lp = LowMemPipeline2D(cfg, K=3)
+    rng = np.random.default_rng(1)
+    u = 0.05 * rng.standard_normal((s.M + 1, 17, 17))
+    phi_hist, (x, y), t = s.simulate(control=u)
+    phi_T, phi_Q = build_targets_2d(x, y, t, np.asarray(phi_hist[0]),
+                                    1.0, 1.0, cfg.T)
+    adj = AdjointSolver2D(cfg)
+    _, _, r_full = map(np.asarray,
+                       adj.run(np.asarray(phi_hist), t, 5.0, 10.0,
+                               phi_Q, phi_T))
+    r_low = np.asarray(lp.adjoint_r(u, b1=5.0, b2=10.0, phi_Q=phi_Q,
+                                    phi_T_target=phi_T))
+    assert r_low.shape == r_full.shape
+    assert np.abs(r_low - r_full).max() < 1e-12
+
+
+def test_lowmem_1d_matches_full_memory():
+    cfg = ForwardSolverConfig1D(N=48, T=0.1, dt_initial=1e-2)
+    s = ForwardSolver1D(cfg)
+    lp = LowMemPipeline1D(cfg, K=4)   # 10 steps -> 2 full segs + 2-step tail
+    rng = np.random.default_rng(2)
+    u = 0.05 * rng.standard_normal((s.M + 1, 49))
+    phi_hist, x, t = s.simulate(control=u)          # core layout
+    phi_T, phi_Q = build_targets_1d(x, t, np.asarray(phi_hist[0]), 1.0,
+                                    cfg.T)
+    adj = AdjointSolver1D(cfg)
+    _, _, r_full = map(np.asarray,
+                       adj.run(np.asarray(phi_hist), t, 0.3, 13.0,
+                               phi_Q, phi_T))
+    r_low = np.asarray(lp.adjoint_r(u, b1=0.3, b2=13.0, phi_Q=phi_Q,
+                                    phi_T_target=phi_T))
+    assert r_low.shape == r_full.shape
+    assert np.abs(r_low - r_full).max() < 1e-12
+
+
+def test_lowmem_cost_matches_full_cost():
+    """J1 accumulated during the forward must equal the trapz cost on the
+    materialized trajectory."""
+    import jax.numpy as jnp
+
+    from vch_tpu.control.cost import calculate_cost_2d
+
+    cfg = ForwardSolverConfig2D(Nx=16, Ny=16, T=0.13, dt_initial=2e-2)
+    lp = LowMemPipeline2D(cfg, K=3)
+    s = lp.solver
+    rng = np.random.default_rng(3)
+    u = jnp.asarray(0.05 * rng.standard_normal((s.M + 1, 17, 17)))
+    phi_hist, (x, y), t = s.simulate(control=u)
+    phi_T, phi_Q = build_targets_2d(x, y, t, np.asarray(phi_hist[0]),
+                                    1.0, 1.0, cfg.T)
+    phi_Q = jnp.asarray(phi_Q)
+    phi0 = jnp.asarray(np.asarray(phi_hist[0]))
+    state = lp.core.forward_ckpt(u, phi0, phi_Q)
+    c_low = float(lp.core.cost(state, u, jnp.asarray(phi_T),
+                               5.0, 10.0, 1e-4, 1e-4))
+    c_full = float(calculate_cost_2d(phi_hist, u, phi_Q, jnp.asarray(phi_T),
+                                     x, y, t, 5.0, 10.0, 1e-4, 1e-4))
+    assert abs(c_low - c_full) < 1e-10 * max(abs(c_full), 1.0)
+
+
+@pytest.mark.slow
+def test_lowmem_batched_pgd_matches_full_memory_pgd():
+    """Three lowmem PGD iterations == three full-memory PGD iterations
+    (same costs, same controls) — the integration gate (VERDICT item 4)."""
+    from vch_tpu.parallel.batch import (BatchedProblem2D,
+                                        LowMemBatchedProblem2D, sweep_2d)
+
+    cfg = ForwardSolverConfig2D(Nx=16, Ny=16, T=0.1, dt_initial=1e-2)
+    sc = sweep_2d(cfg, b3_values=[1e-4, 2e-4])
+    full = BatchedProblem2D(cfg)
+    low = LowMemBatchedProblem2D(cfg, K=4)   # 10 steps: 2 segs + 2-step tail
+    out_f = full.run(sc, max_iter=3, verbose=False)
+    out_l = low.run(sc, max_iter=3, verbose=False)
+    np.testing.assert_allclose(out_l["cost_history"], out_f["cost_history"],
+                               rtol=1e-9)
+    np.testing.assert_allclose(out_l["u"], out_f["u"], atol=1e-10)
+    assert out_l["newton_solves"] == out_f["newton_solves"]

@@ -118,12 +118,12 @@ class _BatchedPGDBase:
         # each jitted piece keeps the forward scan at top level — the fused
         # search-while(forward-scan) nesting faults the axon TPU runtime.
         def _adjoint_grad(u, phi, b1, b2, b3, phi_Q, phi_T):
-            r = self._adjoint(phi, b1, b2, phi_Q, phi_T)
+            r = self._adjoint(phi, u, b1, b2, phi_Q, phi_T)
             return r, r + b3 * u
 
         def _trial(u, grad, alpha, phi0, phi_Q, phi_T, b1, b2, b3, ks):
             u_t = proximal_step(u, grad, alpha, ks, self.u_min, self.u_max)
-            phi_t, nsolve = self._forward_stats(u_t, phi0)
+            phi_t, nsolve = self._forward_stats(u_t, phi0, phi_Q)
             c_t = self._cost(phi_t, u_t, phi_Q, phi_T, b1, b2, b3, ks)
             return u_t, phi_t, c_t, nsolve
 
@@ -145,7 +145,7 @@ class _BatchedPGDBase:
         self._merge_v = jax.jit(_merge)
         self._change_v = jax.jit(_change)
         self._forward_v = self._maybe_shard(
-            jax.vmap(lambda u, p0: self._forward_stats(u, p0)))
+            jax.vmap(lambda u, p0, pQ: self._forward_stats(u, p0, pQ)))
         self._cost_v = self._maybe_shard(jax.vmap(self._cost))
 
     def _maybe_shard(self, fn):
@@ -251,7 +251,7 @@ class _BatchedPGDBase:
             from vch_tpu.utils.checkpoint import load_checkpoint
             state, meta = load_checkpoint(checkpoint_path)
             u = as_dev(state["u"])
-            phi, ns0 = self._forward_v(u, phi0)
+            phi, ns0 = self._forward_v(u, phi0, phi_Q)
             newton_solves += int(np.asarray(ns0).sum())
             alpha = state["alpha"]
             plateau = state["plateau"].astype(int)
@@ -264,7 +264,7 @@ class _BatchedPGDBase:
         else:
             # baseline forward per scenario
             u = as_dev(np.zeros((B,) + self._control_shape))
-            phi, ns0 = self._forward_v(u, phi0)
+            phi, ns0 = self._forward_v(u, phi0, phi_Q)
             newton_solves += int(np.asarray(ns0).sum())
             cost = self._cost_v(phi, u, phi_Q, phi_T, b1, b2, b3, ks)
             alpha = np.full((B,), self.alpha_max)
@@ -340,7 +340,8 @@ class _BatchedPGDBase:
             metrics.log("run_done", timers=timers,
                         newton_solves=newton_solves)
         return {
-            "u": np.asarray(u), "r": np.asarray(r), "phi": np.asarray(phi),
+            "u": np.asarray(u), "r": np.asarray(r),
+            "phi": jax.tree_util.tree_map(np.asarray, phi),
             "cost_history": np.stack(cost_hist), "alpha": np.asarray(alpha),
             "converged": converged, "iterations": iters_to_converge,
             "newton_solves": newton_solves, "timers": timers,
@@ -370,15 +371,15 @@ class BatchedProblem1D(_BatchedPGDBase):
                          mesh, use_mesh)
 
     def _forward(self, u_ref, phi0):
-        phi, _ = self._forward_stats(u_ref, phi0)
+        phi, _ = self._forward_stats(u_ref, phi0, None)
         return phi
 
-    def _forward_stats(self, u_ref, phi0):
+    def _forward_stats(self, u_ref, phi0, phi_Q=None):
         M = self.solver.M
         phi, st = self.solver._march_impl(u_ref[: M + 1], phi0)
         return jnp.concatenate([phi[:1], phi], axis=0), st.newton_solves
 
-    def _adjoint(self, phi_ref, b1, b2, phi_Q, phi_T):
+    def _adjoint(self, phi_ref, u, b1, b2, phi_Q, phi_T):
         _, _, r = self.adj._run_impl(phi_ref, self._dts_ref, b1, b2,
                                      phi_Q, phi_T)
         return r
@@ -427,14 +428,55 @@ class BatchedProblem2D(_BatchedPGDBase):
     def _forward(self, u, phi0):
         return self.solver._simulate_impl(u, phi0)
 
-    def _forward_stats(self, u, phi0):
+    def _forward_stats(self, u, phi0, phi_Q=None):
         phi, st = self.solver._march_impl(u, phi0)
         return phi, st.newton_solves
 
-    def _adjoint(self, phi_hist, b1, b2, phi_Q, phi_T):
+    def _adjoint(self, phi_hist, u, b1, b2, phi_Q, phi_T):
         _, _, r = self.adj._run_impl(phi_hist, self._dts, b1, b2, phi_Q, phi_T)
         return r
 
     def _cost(self, phi_hist, u, phi_Q, phi_T, b1, b2, b3, ks):
         return calculate_cost_2d(phi_hist, u, phi_Q, phi_T, self._x, self._y,
                                  self._t, b1, b2, b3, ks)
+
+
+class LowMemBatchedProblem2D(_BatchedPGDBase):
+    """Batched 2D PGD whose forward/adjoint never materialize a trajectory.
+
+    The "phi" slot of the generic runner carries a models/lowmem.LowMemState
+    (O(M/K) segment checkpoints + terminal state + the J1 accumulator)
+    instead of the (M+1, Nx+1, Ny+1) history — the line-search trials compute
+    cost straight from the accumulator, and the adjoint recomputes each
+    K-step segment from its checkpoint (sqrt-schedule rematerialization).
+    This is what makes BASELINE.md config 5 (256x256) PGD iterations fit on
+    one chip at useful batch sizes (SURVEY.md section 7 'Memory at scale').
+    """
+
+    def __init__(self, fwd_config: Optional[ForwardSolverConfig2D] = None,
+                 K: int = 10, settings: Optional[PGDSettings] = None,
+                 alpha_max: float = 50.0, mesh=None, use_mesh: bool = False):
+        from vch_tpu.models.lowmem import LowMemPipeline2D
+        self.fwd_config = fwd_config or ForwardSolverConfig2D()
+        self.pipe = LowMemPipeline2D(self.fwd_config, K=K)
+        self.solver = self.pipe.solver
+        self.dtype = self.solver.dtype
+        M = self.solver.M
+        self._control_shape = (M + 1, self.fwd_config.Nx + 1,
+                               self.fwd_config.Ny + 1)
+        super().__init__(settings or PGDSettings.defaults_2d(), alpha_max,
+                         mesh, use_mesh)
+
+    def _forward_stats(self, u, phi0, phi_Q):
+        st = self.pipe.core.forward_ckpt(u, phi0, phi_Q)
+        return st, st.newton_solves
+
+    def _forward(self, u, phi0):
+        # full-trajectory API for parity/tests only (not used by run())
+        return self.solver._simulate_impl(u, phi0)
+
+    def _adjoint(self, state, u, b1, b2, phi_Q, phi_T):
+        return self.pipe.core.adjoint_r(state, u, phi_Q, b1, b2, phi_T)
+
+    def _cost(self, state, u, phi_Q, phi_T, b1, b2, b3, ks):
+        return self.pipe.core.cost(state, u, phi_T, b1, b2, b3, ks)
