@@ -41,3 +41,42 @@ def test_instability_report_matches_test_formula():
     rep = instability_report(c1, c2, kappa, tau, 1.0, verbose=False)
     assert rep.shape == (12,)
     assert (rep > 0).sum() > 0  # default params are spinodally unstable
+
+
+def test_grid_sharded_forward_matches_unsharded():
+    """The FULL grid-sharded marcher (Newton + Armijo + mass correction
+    under shard_map) must reproduce the single-device ForwardSolver2D
+    trajectory (VERDICT round-1 item 5 gate)."""
+    import jax
+
+    from vch_tpu.config import ForwardSolverConfig2D
+    from vch_tpu.models.forward2d import ForwardSolver2D
+    from vch_tpu.parallel.spatial import GridShardedForward2D
+    from jax.sharding import Mesh
+
+    cfg = ForwardSolverConfig2D(Nx=31, Ny=24, T=0.05, dt_initial=1e-2)
+    mesh = Mesh(np.array(jax.devices()[:8]), ("gx",))
+    rng = np.random.default_rng(0)
+    u = 0.05 * rng.standard_normal((6, 32, 25))
+
+    gs = GridShardedForward2D(cfg, mesh=mesh)
+    phi_sh, _, _ = gs.simulate(control=u)
+    ref = ForwardSolver2D(cfg)
+    phi_ref, _, _ = ref.simulate(control=u)
+    # identical math, different reduction/apply order (stencil + collectives
+    # vs dense matmuls): agree to solver tolerance, far below newton_tol
+    err = np.abs(np.asarray(phi_sh) - np.asarray(phi_ref)).max()
+    assert err < 1e-8, err
+
+
+def test_grid_sharded_rejects_indivisible_rows():
+    import jax
+    from jax.sharding import Mesh
+
+    from vch_tpu.config import ForwardSolverConfig2D
+    from vch_tpu.parallel.spatial import GridShardedForward2D
+
+    mesh = Mesh(np.array(jax.devices()[:8]), ("gx",))
+    with pytest.raises(AssertionError):
+        GridShardedForward2D(ForwardSolverConfig2D(Nx=30, Ny=30, T=0.05),
+                             mesh=mesh)

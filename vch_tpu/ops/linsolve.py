@@ -86,18 +86,22 @@ def spectral_poly_solve(op: SpectralOp2D, denom_of_lam: Callable, rhs: jnp.ndarr
 
 
 def bicgstab(apply_A: Callable, b: jnp.ndarray, apply_M: Callable,
-             tol: float, max_iter: int, x0: jnp.ndarray | None = None):
+             tol: float, max_iter: int, x0: jnp.ndarray | None = None,
+             dot_fn: Callable | None = None):
     """Right-preconditioned BiCGStab, jit/vmap-safe (fixed-bound while_loop).
 
     Solves A x = b with preconditioner application apply_M ~= A^{-1}.
     Written out rather than using jax.scipy so the convergence policy,
     dtype behavior, and batching semantics are fully ours. Returns x.
+    dot_fn overrides the inner product — the grid-sharded solver passes a
+    psum-reduced dot so the same recurrence runs distributed
+    (parallel/spatial.py).
     """
     dtype = b.dtype
     x = jnp.zeros_like(b) if x0 is None else x0
     r = b - apply_A(x)
     rhat = r
-    dot = lambda a, c: jnp.sum(a * c)
+    dot = dot_fn or (lambda a, c: jnp.sum(a * c))
     b_norm = jnp.sqrt(dot(b, b))
     atol2 = (tol * jnp.maximum(b_norm, 1e-300)) ** 2
     eps_div = jnp.asarray(1e-300 if dtype == jnp.float64 else 1e-30, dtype)
@@ -192,7 +196,8 @@ def bicgstab_fixed(apply_A: Callable, b: jnp.ndarray, apply_M: Callable,
 
 def bicgstab_split(apply_A: Callable, b: jnp.ndarray, apply_Phalf: Callable,
                    apply_Phalf_inv: Callable, tol: float, max_iter: int,
-                   x0: jnp.ndarray | None = None):
+                   x0: jnp.ndarray | None = None,
+                   dot_fn: Callable | None = None):
     """BiCGStab on the SPLIT-preconditioned system P^-1/2 A P^-1/2.
 
     Right preconditioning leaves Krylov residuals in the RAW system's metric;
@@ -214,7 +219,7 @@ def bicgstab_split(apply_A: Callable, b: jnp.ndarray, apply_Phalf: Callable,
         return apply_Phalf(apply_A(apply_Phalf(v)))
 
     y = bicgstab(apply_At, bt, lambda v: v, tol=tol, max_iter=max_iter,
-                 x0=y0)
+                 x0=y0, dot_fn=dot_fn)
     return apply_Phalf(y)
 
 
