@@ -89,6 +89,83 @@ def bench_config_3(iters: int):
             "vs_ref_cpu_iter_s": None}
 
 
+def _tile_batch(sc, batch):
+    import dataclasses
+    reps = -(-batch // sc.batch)
+    tile = lambda a: np.concatenate([a] * reps, axis=0)[:batch]
+    return dataclasses.replace(
+        sc, phi0=tile(sc.phi0), phi_T=tile(sc.phi_T), phi_Q=tile(sc.phi_Q),
+        b1=tile(sc.b1), b2=tile(sc.b2), b3=tile(sc.b3),
+        kappa_spar=tile(sc.kappa_spar))
+
+
+def bench_config_4(iters: int, batch: int = 64):
+    """BASELINE config 4: 2D 128x128 batched scenarios, one chip/host.
+
+    Measured (not estimated) Newton-solve counts come back in
+    out['newton_solves'] (VERDICT round-1 item 3: demonstrate real batch
+    scale with B >= 64)."""
+    from vch_tpu.config import ForwardSolverConfig2D
+    from vch_tpu.parallel.batch import BatchedProblem2D, sweep_2d
+    dt = _dtype()
+    cfg = ForwardSolverConfig2D(
+        Nx=128, Ny=128, T=1.0, dtype=dt,
+        newton_tol=2e-4 if dt == "float32" else 1e-6,
+        forward_matmul_precision="high" if dt == "float32" else None)
+    prob = BatchedProblem2D(cfg)
+    sc = sweep_2d(cfg, b3_values=np.linspace(5e-5, 2e-4, max(1, batch // 8)),
+                  kappa_values=np.linspace(5e-5, 2e-4, 8))
+    sc = _tile_batch(sc, batch)
+    prob.run(sc, max_iter=1, verbose=False)           # compile
+    t0 = time.perf_counter()
+    out = prob.run(sc, max_iter=iters, verbose=False)
+    el = time.perf_counter() - t0
+    import jax
+    mem = jax.local_devices()[0].memory_stats() or {}
+    return {"scenario_iters_per_s": round(batch * iters / el, 4),
+            "batch": batch, "grid": "128x128", "iters": iters,
+            "elapsed_s": round(el, 2), "dtype": dt,
+            "newton_solves": int(out["newton_solves"]),
+            "newton_solves_per_s": round(out["newton_solves"] / el, 1),
+            "timers": {k: round(v, 2) for k, v in out["timers"].items()},
+            "mean_final_cost": float(out["cost_history"][-1].mean()),
+            "descend_frac": float((out["cost_history"][-1]
+                                   < out["cost_history"][0] + 1e-9).mean()),
+            "peak_bytes_in_use": mem.get("peak_bytes_in_use")}
+
+
+def bench_config_5(iters: int, batch: int = 8, K: int = 10):
+    """BASELINE config 5 grid (256x256) on ONE chip via the lowmem
+    (segment-checkpointed) batched PGD — the multi-host 4096-scenario run
+    needs a pod slice, but the per-chip engine is demonstrated here."""
+    from vch_tpu.config import ForwardSolverConfig2D
+    from vch_tpu.parallel.batch import LowMemBatchedProblem2D, sweep_2d
+    dt = _dtype()
+    cfg = ForwardSolverConfig2D(
+        Nx=256, Ny=256, T=1.0, dtype=dt,
+        newton_tol=2e-4 if dt == "float32" else 1e-6,
+        forward_matmul_precision="high" if dt == "float32" else None)
+    prob = LowMemBatchedProblem2D(cfg, K=K)
+    sc = sweep_2d(cfg, b3_values=np.linspace(5e-5, 2e-4, max(1, batch // 2)),
+                  kappa_values=[5e-5, 1e-4])
+    sc = _tile_batch(sc, batch)
+    prob.run(sc, max_iter=1, verbose=False)           # compile
+    t0 = time.perf_counter()
+    out = prob.run(sc, max_iter=iters, verbose=False)
+    el = time.perf_counter() - t0
+    import jax
+    mem = jax.local_devices()[0].memory_stats() or {}
+    return {"scenario_iters_per_s": round(batch * iters / el, 4),
+            "batch": batch, "grid": "256x256", "lowmem_K": K,
+            "iters": iters, "elapsed_s": round(el, 2), "dtype": dt,
+            "newton_solves": int(out["newton_solves"]),
+            "newton_solves_per_s": round(out["newton_solves"] / el, 1),
+            "mean_final_cost": float(out["cost_history"][-1].mean()),
+            "descend_frac": float((out["cost_history"][-1]
+                                   < out["cost_history"][0] + 1e-9).mean()),
+            "peak_bytes_in_use": mem.get("peak_bytes_in_use")}
+
+
 def main():
     args = [a for a in sys.argv[1:] if not a.startswith("--")]
     iters = 3
@@ -96,7 +173,8 @@ def main():
         if a.startswith("--iters"):
             iters = int(a.split("=")[1])
     configs = [int(a) for a in args] or [1, 3]
-    fns = {1: bench_config_1, 2: bench_config_2, 3: bench_config_3}
+    fns = {1: bench_config_1, 2: bench_config_2, 3: bench_config_3,
+           4: bench_config_4, 5: bench_config_5}
     path = os.path.join(REPO, "BENCH_RESULTS.json")
     results = {}
     if os.path.exists(path):

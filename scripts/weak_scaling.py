@@ -44,8 +44,21 @@ def main():
                     help="initialize jax.distributed (multi-host)")
     ap.add_argument("--cpu", action="store_true",
                     help="force CPU (virtual-device validation)")
+    ap.add_argument("--cpu-devices", type=int, default=8,
+                    help="virtual CPU device count used with --cpu")
+    ap.add_argument("--batch-scaling", action="store_true",
+                    help="single-device batch (vmap) scaling instead of "
+                         "mesh weak scaling")
+    ap.add_argument("--batches", default="1,4,8,16",
+                    help="batch sizes for --batch-scaling")
     args = ap.parse_args()
 
+    if args.cpu:
+        flags = os.environ.get("XLA_FLAGS", "")
+        if "host_platform_device_count" not in flags:
+            os.environ["XLA_FLAGS"] = (
+                flags + f" --xla_force_host_platform_device_count="
+                f"{args.cpu_devices}").strip()
     import jax
     if args.cpu:
         jax.config.update("jax_platforms", "cpu")
@@ -68,13 +81,10 @@ def main():
         newton_tol=2e-4 if dtype == "float32" else 1e-6,
         forward_matmul_precision="high" if dtype == "float32" else None)
 
-    results = {}
-    sizes = sorted({1, max(1, n_dev // 2), n_dev})
-    for nd in sizes:
-        mesh = make_mesh(n_devices=nd)
-        B = args.per_device * nd
-        prob = BatchedProblem2D(cfg, mesh=mesh)
-        import dataclasses
+    import dataclasses
+
+    def run_once(mesh, B, prob=None):
+        prob = prob or BatchedProblem2D(cfg, mesh=mesh)
         sc = sweep_2d(cfg, b3_values=np.linspace(1e-4, 2e-4, max(1, B // 2)),
                       kappa_values=[1e-4, 2e-4][: max(1, min(2, B))])
         reps = -(-B // sc.batch)
@@ -88,18 +98,66 @@ def main():
         out = prob.run(sc, max_iter=args.iters, verbose=False)
         el = time.perf_counter() - t0
         assert np.all(np.isfinite(out["cost_history"]))
-        results[nd] = {"devices": nd, "batch": B,
-                       "scenario_iters_per_s": round(B * args.iters / el, 4)}
-        print(json.dumps(results[nd]), flush=True)
+        return el, out
 
-    base = results[sizes[0]]["scenario_iters_per_s"] / sizes[0]
-    for nd in sizes[1:]:
-        eff = results[nd]["scenario_iters_per_s"] / (nd * base)
-        results[nd]["weak_scaling_efficiency"] = round(eff, 3)
-        print(f"devices={nd}: weak-scaling efficiency {eff:.1%}")
+    results = {}
+    if args.batch_scaling:
+        # single-device BATCH scaling: how close to free are extra scenarios
+        # on one chip (vmap packing efficiency)? efficiency(B) =
+        # throughput(B) / (B * throughput(1))
+        prob = BatchedProblem2D(cfg)
+        for B in [int(b) for b in args.batches.split(",")]:
+            el, out = run_once(None, B, prob)
+            results[B] = {
+                "batch": B, "devices": 1,
+                "scenario_iters_per_s": round(B * args.iters / el, 4),
+                "newton_solves_per_s": round(out["newton_solves"] / el, 1)}
+            print(json.dumps(results[B]), flush=True)
+    else:
+        sizes = sorted({1, max(1, n_dev // 2), n_dev})
+        for nd in sizes:
+            mesh = make_mesh(n_devices=nd)
+            B = args.per_device * nd
+            el, out = run_once(mesh, B)
+            results[nd] = {"devices": nd, "batch": B,
+                           "scenario_iters_per_s": round(B * args.iters / el,
+                                                         4)}
+            print(json.dumps(results[nd]), flush=True)
 
-    with open(os.path.join(REPO, "WEAK_SCALING.json"), "w") as f:
-        json.dump(results, f, indent=1)
+    keys = sorted(results)
+    base = results[keys[0]]["scenario_iters_per_s"] / keys[0]
+    for k in keys[1:]:
+        eff = results[k]["scenario_iters_per_s"] / (k * base)
+        results[k]["weak_scaling_efficiency"] = round(eff, 3)
+        print(f"{'batch' if args.batch_scaling else 'devices'}={k}: "
+              f"scaling efficiency {eff:.1%}")
+
+    # merge into the committed artifact keyed by run mode, so the CPU
+    # virtual-mesh validation and on-chip runs coexist
+    path = os.path.join(REPO, "WEAK_SCALING.json")
+    try:
+        with open(path) as f:
+            all_results = json.load(f)
+    except (FileNotFoundError, json.JSONDecodeError):
+        all_results = {}
+    mode = ("cpu_virtual_mesh" if args.cpu
+            else ("tpu_multihost" if args.distributed else "tpu"))
+    if args.batch_scaling:
+        mode += "_batch_scaling"
+    all_results[mode] = {
+        "n": args.n, "T": args.T, "per_device": args.per_device,
+        "iters": args.iters, "dtype": dtype,
+        "runs": {str(k): v for k, v in results.items()},
+    }
+    if args.cpu and not args.batch_scaling:
+        all_results[mode]["note"] = (
+            "8 virtual devices share ONE physical CPU socket: throughput "
+            "staying flat as the mesh grows is the expected outcome — this "
+            "run validates the sharded program's correctness and host-loop "
+            "overhead, not hardware scaling, which needs a real multi-chip "
+            "slice (see the tpu entries for on-chip batch scaling).")
+    with open(path, "w") as f:
+        json.dump(all_results, f, indent=1)
 
 
 if __name__ == "__main__":

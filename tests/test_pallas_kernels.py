@@ -138,3 +138,59 @@ def test_fused_bicgstab_schur_vmaps():
         d_i, m_i = fn(phi[i], Rphi[i], Rmu[i])
         assert float(jnp.linalg.norm(d_batched[i] - d_i)) <= \
             1e-12 * float(jnp.linalg.norm(d_i))
+
+
+def test_fused_adjoint_bicgstab_solves_system():
+    """The fused split-preconditioned adjoint solve must satisfy
+    A(phi) p = rhs (A = I - tau L + dt/2 L^2 - dt/2 fpp L) to tight
+    residual, warm-started or not."""
+    from vch_tpu.ops.pallas_kernels import bicgstab_adjoint_pallas
+    from vch_tpu.ops.potential import fpp_log
+
+    op, _, _, rng = _setup()
+    dt, tau = 1e-2, 0.05
+    phi = jnp.asarray(np.clip(0.3 * rng.standard_normal(op.lam.shape),
+                              -0.9, 0.9))
+    fpp = fpp_log(phi, 0.75, 1.0)
+    rhs = jnp.asarray(rng.standard_normal(op.lam.shape))
+    fbar = jnp.mean(fpp)
+    denom = (1.0 - tau * op.lam + 0.5 * dt * op.lam ** 2
+             - 0.5 * dt * fbar * op.lam)
+    isd = jax.lax.rsqrt(jnp.abs(denom))
+    for x0 in (jnp.zeros_like(rhs), 0.1 * rhs):
+        p = bicgstab_adjoint_pallas(op.Lx, op.Ly.T, op.Vx_inv, op.Vy_inv.T,
+                                    op.Vx, op.Vy.T, isd, fpp, rhs, x0,
+                                    tau, 0.5 * dt, n_iter=25, interpret=True)
+        lap = partial(apply_laplacian_2d, op.Lx, op.Ly)
+        w = lap(p)
+        Ap = p - tau * w + 0.5 * dt * (lap(w) - fpp * w)
+        rel = float(jnp.linalg.norm(Ap - rhs) / jnp.linalg.norm(rhs))
+        assert rel < 1e-9, rel
+
+
+def test_adjoint2d_pallas_path_matches_xla_path():
+    """End-to-end 2D adjoint sweep: the fused-kernel path (interpret mode)
+    must match the adaptive bicgstab_split path on a real trajectory."""
+    from vch_tpu.config import ForwardSolverConfig2D
+    from vch_tpu.control.targets import build_targets_2d
+    from vch_tpu.models.adjoint2d import AdjointSolver2D
+    from vch_tpu.models.forward2d import ForwardSolver2D
+
+    cfg = ForwardSolverConfig2D(Nx=16, Ny=16, T=0.05, dt_initial=1e-2)
+    s = ForwardSolver2D(cfg)
+    phi_hist, (x, y), t = s.simulate()
+    phi_T, phi_Q = build_targets_2d(x, y, t, np.asarray(phi_hist[0]),
+                                    1.0, 1.0, cfg.T)
+    ref = AdjointSolver2D(cfg)
+    p0, q0, r0 = map(np.asarray, ref.run(np.asarray(phi_hist), t, 5.0, 10.0,
+                                         phi_Q, phi_T))
+    pal = AdjointSolver2D(cfg)
+    pal._use_pallas = True
+    pal._krylov_fixed = 25
+    pal._pallas_interpret = True
+    pal._run = jax.jit(pal._run_impl)
+    p1, q1, r1 = map(np.asarray, pal.run(np.asarray(phi_hist), t, 5.0, 10.0,
+                                         phi_Q, phi_T))
+    scale = np.abs(r0).max()
+    assert np.abs(r1 - r0).max() < 1e-9 * max(scale, 1e-12)
+    assert np.abs(p1 - p0).max() < 1e-9 * np.abs(p0).max()

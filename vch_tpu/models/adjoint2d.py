@@ -45,6 +45,14 @@ class AdjointSolver2D:
                            else max(cfg.krylov_tol, 1e-6))
         self._krylov_fixed = (None if self.dtype == jnp.float64
                               else cfg.krylov_fixed_iters)
+        # Fused Pallas split-preconditioned solve (whole Krylov loop in
+        # VMEM): same auto rule as the forward solver — f32 fixed-trip path
+        # on TPU. The recurrence matches bicgstab_split with the
+        # bicgstab_fixed freeze/best-iterate policy.
+        self._use_pallas = (cfg.use_pallas if cfg.use_pallas is not None
+                            else (self._krylov_fixed is not None
+                                  and jax.default_backend() == "tpu"))
+        self._pallas_interpret = False
         self._run = jax.jit(self._run_impl)
 
     def _run_impl(self, phi_hist, dts, b1, b2, phi_Q, phi_T_target):
@@ -95,9 +103,17 @@ class AdjointSolver2D:
             # stalls at eps*cond = O(1) relative error (observed as a 1e14
             # blow-up of the backward sweep); conditioning the system before
             # Krylov keeps iterates O(1)-scaled and restores f32 accuracy.
-            p_n = bicgstab_split(apply_A, rhs, apply_Phalf, apply_Phalf_inv,
-                                 tol=self.krylov_tol,
-                                 max_iter=cfg.krylov_max_iter, x0=p_next)
+            if self._use_pallas and self._krylov_fixed is not None:
+                from vch_tpu.ops.pallas_kernels import bicgstab_adjoint_pallas
+                p_n = bicgstab_adjoint_pallas(
+                    op.Lx, op.Ly.T, op.Vx_inv, op.Vy_inv.T, op.Vx, op.Vy.T,
+                    inv_sqrt_denom, fpp_n, rhs, p_next, tau, 0.5 * dt,
+                    n_iter=self._krylov_fixed,
+                    interpret=self._pallas_interpret)
+            else:
+                p_n = bicgstab_split(apply_A, rhs, apply_Phalf,
+                                     apply_Phalf_inv, tol=self.krylov_tol,
+                                     max_iter=cfg.krylov_max_iter, x0=p_next)
             q_n = -lap(p_n)
             den = gamma + 0.5 * dt
             r_n = ((gamma - 0.5 * dt) / den * r_next

@@ -240,3 +240,113 @@ def spectral_solve_pallas(Vx_inv, Vy_inv_T, Vx, VyT, denom, v,
         out_specs=_vmem_spec(),
         interpret=interpret,
     )(Vx_inv, Vy_inv_T, Vx, VyT, denom, v)
+
+
+def _bicgstab_adjoint_kernel_factory(n_iter: int, eps_mach: float):
+    """Fused split-preconditioned BiCGStab for the 2D adjoint step solve.
+
+    Solves A(phi_n) p = rhs with A = I - tau L + (dt/2) L^2 - (dt/2) fpp L
+    (backward2_solver.py:195-198 scheme) on the SPLIT-preconditioned system
+    P^-1/2 A P^-1/2 (ops/linsolve.bicgstab_split semantics: f32 Krylov on
+    the raw biharmonic-dominated operator stalls at eps*cond — conditioning
+    the system first keeps iterates O(1)). Fixed trip count with the
+    bicgstab_fixed noise-floor freeze + best-iterate tracking; warm-started
+    from the next time level. Whole solve in one VMEM-resident kernel.
+    """
+
+    def kernel(scal_ref, Lx_ref, LyT_ref, Vxi_ref, VyiT_ref, Vx_ref, VyT_ref,
+               isd_ref, fpp_ref, b_ref, x0_ref, out_ref):
+        tau = scal_ref[0, 0]
+        half_dt = scal_ref[0, 1]
+        Lx = Lx_ref[:]
+        LyT = LyT_ref[:]
+        Vxi = Vxi_ref[:]
+        VyiT = VyiT_ref[:]
+        Vx = Vx_ref[:]
+        VyT = VyT_ref[:]
+        isd = isd_ref[:]            # 1/sqrt(|denom|) on the eigen grid
+        fpp = fpp_ref[:]
+        dt_ = b_ref.dtype
+
+        def mm(a, c):
+            return jnp.dot(a, c, preferred_element_type=dt_)
+
+        def lap(v):
+            return mm(Lx, v) + mm(v, LyT)
+
+        def to_s(v):
+            return mm(mm(Vxi, v), VyiT)
+
+        def from_s(vh):
+            return mm(mm(Vx, vh), VyT)
+
+        def Phalf(v):
+            return from_s(to_s(v) * isd)
+
+        def Phalf_inv(v):
+            return from_s(to_s(v) / isd)
+
+        def apply_A(v):
+            w = lap(v)
+            return v - tau * w + half_dt * (lap(w) - fpp * w)
+
+        def apply_At(v):
+            return Phalf(apply_A(Phalf(v)))
+
+        bt = Phalf(b_ref[:])
+        y0 = Phalf_inv(x0_ref[:])
+
+        dot = lambda a, c: jnp.sum(a * c)
+        eps_div = jnp.asarray(1e-30, dt_)
+        one = jnp.asarray(1.0, dt_)
+        r0 = bt - apply_At(y0)
+        floor2 = (50.0 * eps_mach) ** 2 * jnp.maximum(dot(bt, bt), eps_div)
+
+        def body(_, carry):
+            x, r, p, v, rho, alpha, omega, best_x, best_r2 = carry
+            active = dot(r, r) > floor2
+            rho_new = dot(r0, r)
+            beta = (rho_new / (rho + eps_div)) * (alpha / (omega + eps_div))
+            p_n = r + beta * (p - omega * v)
+            v_n = apply_At(p_n)
+            alpha_n = rho_new / (dot(r0, v_n) + eps_div)
+            s = r - alpha_n * v_n
+            t = apply_At(s)
+            omega_n = dot(t, s) / (dot(t, t) + eps_div)
+            x_n = x + alpha_n * p_n + omega_n * s
+            r_n = s - omega_n * t
+            r2_n = dot(r_n, r_n)
+            ok = active & jnp.isfinite(r2_n)
+            sel = lambda a, bb: jnp.where(ok, a, bb)
+            better = ok & (r2_n < best_r2)
+            best_x = jnp.where(better, x_n, best_x)
+            best_r2 = jnp.where(better, r2_n, best_r2)
+            return (sel(x_n, x), sel(r_n, r), sel(p_n, p), sel(v_n, v),
+                    jnp.where(ok, rho_new, rho), jnp.where(ok, alpha_n, alpha),
+                    jnp.where(ok, omega_n, omega), best_x, best_r2)
+
+        z = jnp.zeros_like(bt)
+        init = (y0, r0, z, z, one, one, one, y0, dot(r0, r0))
+        out = jax.lax.fori_loop(0, n_iter, body, init)
+        out_ref[:] = Phalf(out[7])
+
+    return kernel
+
+
+def bicgstab_adjoint_pallas(Lx, LyT, Vx_inv, Vy_inv_T, Vx, VyT,
+                            inv_sqrt_denom, fpp, rhs, x0, tau, half_dt,
+                            n_iter: int, interpret: bool = False):
+    """Fused fixed-trip split-preconditioned adjoint solve (see factory)."""
+    dtype = rhs.dtype
+    eps_mach = 2.2e-16 if dtype == jnp.float64 else 1.2e-7
+    scal = jnp.stack([jnp.asarray(tau, dtype) + jnp.zeros((), dtype),
+                      jnp.asarray(half_dt, dtype) + jnp.zeros((), dtype)]
+                     ).reshape(1, 2)
+    kernel = _bicgstab_adjoint_kernel_factory(int(n_iter), eps_mach)
+    return pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct(rhs.shape, dtype),
+        in_specs=[_smem_spec()] + [_vmem_spec()] * 10,
+        out_specs=_vmem_spec(),
+        interpret=interpret,
+    )(scal, Lx, LyT, Vx_inv, Vy_inv_T, Vx, VyT, inv_sqrt_denom, fpp, rhs, x0)
