@@ -31,6 +31,13 @@ except Exception:  # pragma: no cover
     pltpu = None
     _HAS_PLTPU = False
 
+# Mosaic lowers only DEFAULT (bf16 passes) and HIGHEST (fp32) dot precision;
+# an ambient jax.default_matmul_precision("high") context (the forward path's
+# auto-resolved setting) would otherwise leak into the kernel and fail to
+# lower. The spectral transforms need f32 accuracy (bf16 passes NaN the
+# condition-1e6 adjoint solve), so pin every kernel dot to HIGHEST.
+_PREC = jax.lax.Precision.HIGHEST
+
 
 def _vmem_spec():
     if _HAS_PLTPU:
@@ -52,11 +59,11 @@ def _schur_apply_kernel(scal_ref, Lx_ref, LyT_ref, d_ref, v_ref, out_ref):
     v = v_ref[:]
     Lx = Lx_ref[:]
     LyT = LyT_ref[:]
-    acc = jnp.dot(Lx, v, preferred_element_type=v.dtype)
-    lap_v = acc + jnp.dot(v, LyT, preferred_element_type=v.dtype)
+    acc = jnp.dot(Lx, v, preferred_element_type=v.dtype, precision=_PREC)
+    lap_v = acc + jnp.dot(v, LyT, preferred_element_type=v.dtype, precision=_PREC)
     u = (tau_dt + d_ref[:]) * v - half_kappa * lap_v
-    lap_u = (jnp.dot(Lx, u, preferred_element_type=v.dtype)
-             + jnp.dot(u, LyT, preferred_element_type=v.dtype))
+    lap_u = (jnp.dot(Lx, u, preferred_element_type=v.dtype, precision=_PREC)
+             + jnp.dot(u, LyT, preferred_element_type=v.dtype, precision=_PREC))
     out_ref[:] = inv_dt * v - lap_u
 
 
@@ -85,10 +92,10 @@ def _adjoint_apply_kernel(scal_ref, Lx_ref, LyT_ref, fpp_ref, v_ref, out_ref):
     v = v_ref[:]
     Lx = Lx_ref[:]
     LyT = LyT_ref[:]
-    w = (jnp.dot(Lx, v, preferred_element_type=v.dtype)
-         + jnp.dot(v, LyT, preferred_element_type=v.dtype))
-    lap_w = (jnp.dot(Lx, w, preferred_element_type=v.dtype)
-             + jnp.dot(w, LyT, preferred_element_type=v.dtype))
+    w = (jnp.dot(Lx, v, preferred_element_type=v.dtype, precision=_PREC)
+         + jnp.dot(v, LyT, preferred_element_type=v.dtype, precision=_PREC))
+    lap_w = (jnp.dot(Lx, w, preferred_element_type=v.dtype, precision=_PREC)
+             + jnp.dot(w, LyT, preferred_element_type=v.dtype, precision=_PREC))
     out_ref[:] = v - tau * w + half_dt * (lap_w - fpp_ref[:] * w)
 
 
@@ -140,7 +147,7 @@ def _bicgstab_schur_kernel_factory(n_iter: int, eps_mach: float):
         dt_ = b.dtype
 
         def mm(a, c):
-            return jnp.dot(a, c, preferred_element_type=dt_)
+            return jnp.dot(a, c, preferred_element_type=dt_, precision=_PREC)
 
         def lap(v):
             return mm(Lx, v) + mm(v, LyT)
@@ -223,11 +230,11 @@ def _spectral_solve_kernel(Vxi_ref, VyiT_ref, Vx_ref, VyT_ref, denom_ref,
                            v_ref, out_ref):
     """out = Vx ((Vx^-1 v Vy^-T) / denom) Vy^T — exact poly(L) solve."""
     v = v_ref[:]
-    vhat = jnp.dot(Vxi_ref[:], v, preferred_element_type=v.dtype)
-    vhat = jnp.dot(vhat, VyiT_ref[:], preferred_element_type=v.dtype)
+    vhat = jnp.dot(Vxi_ref[:], v, preferred_element_type=v.dtype, precision=_PREC)
+    vhat = jnp.dot(vhat, VyiT_ref[:], preferred_element_type=v.dtype, precision=_PREC)
     vhat = vhat / denom_ref[:]
-    out = jnp.dot(Vx_ref[:], vhat, preferred_element_type=v.dtype)
-    out_ref[:] = jnp.dot(out, VyT_ref[:], preferred_element_type=v.dtype)
+    out = jnp.dot(Vx_ref[:], vhat, preferred_element_type=v.dtype, precision=_PREC)
+    out_ref[:] = jnp.dot(out, VyT_ref[:], preferred_element_type=v.dtype, precision=_PREC)
 
 
 def spectral_solve_pallas(Vx_inv, Vy_inv_T, Vx, VyT, denom, v,
@@ -269,7 +276,7 @@ def _bicgstab_adjoint_kernel_factory(n_iter: int, eps_mach: float):
         dt_ = b_ref.dtype
 
         def mm(a, c):
-            return jnp.dot(a, c, preferred_element_type=dt_)
+            return jnp.dot(a, c, preferred_element_type=dt_, precision=_PREC)
 
         def lap(v):
             return mm(Lx, v) + mm(v, LyT)
