@@ -194,3 +194,20 @@ def test_adjoint2d_pallas_path_matches_xla_path():
     scale = np.abs(r0).max()
     assert np.abs(r1 - r0).max() < 1e-9 * max(scale, 1e-12)
     assert np.abs(p1 - p0).max() < 1e-9 * np.abs(p0).max()
+
+
+def test_kernel_vmem_fits_gate():
+    """The fused-solve auto rule must exclude grids whose VMEM-resident
+    Krylov state exceeds the 16 MB scoped limit (measured OOM: 257x257 f32
+    wanted 19.22 MB)."""
+    from vch_tpu.ops.pallas_kernels import kernel_vmem_fits
+    assert kernel_vmem_fits(65, 65)      # 64x64 benchmark grid
+    assert kernel_vmem_fits(129, 129)    # 128x128 (config 4), ran on-chip
+    assert not kernel_vmem_fits(257, 257)  # 256x256 (config 5) OOM'd
+
+    # the gate feeds the solver auto rule: 256x256 must fall back to XLA
+    from vch_tpu.config import ForwardSolverConfig2D
+    from vch_tpu.models.forward2d import ForwardSolver2D
+    s = ForwardSolver2D(ForwardSolverConfig2D(Nx=256, Ny=256,
+                                              dtype="float32"))
+    assert s._use_pallas is False

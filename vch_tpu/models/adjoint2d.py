@@ -47,11 +47,15 @@ class AdjointSolver2D:
                               else cfg.krylov_fixed_iters)
         # Fused Pallas split-preconditioned solve (whole Krylov loop in
         # VMEM): same auto rule as the forward solver — f32 fixed-trip path
-        # on TPU. The recurrence matches bicgstab_split with the
-        # bicgstab_fixed freeze/best-iterate policy.
+        # on TPU, gated on the solve fitting VMEM (see forward2d). The
+        # recurrence matches bicgstab_split with the bicgstab_fixed
+        # freeze/best-iterate policy.
+        from vch_tpu.ops.pallas_kernels import kernel_vmem_fits
         self._use_pallas = (cfg.use_pallas if cfg.use_pallas is not None
                             else (self._krylov_fixed is not None
-                                  and jax.default_backend() == "tpu"))
+                                  and jax.default_backend() == "tpu"
+                                  and kernel_vmem_fits(cfg.Nx + 1,
+                                                       cfg.Ny + 1)))
         self._pallas_interpret = False
         self._run = jax.jit(self._run_impl)
 

@@ -193,10 +193,15 @@ class ForwardSolver2D:
         self.M = len(self.dts)
         # Pallas fused-BiCGStab Schur solve: default ON for the f32/TPU
         # fixed-trip path (measured on-chip; ops/pallas_kernels.py), OFF for
-        # f64/CPU where the adaptive Krylov loop is used instead.
+        # f64/CPU where the adaptive Krylov loop is used instead, and OFF
+        # when the VMEM-resident solve won't fit (256x256 OOM'd scoped vmem
+        # at 19.22 MB vs the 16 MB limit — falls back to composed XLA).
+        from vch_tpu.ops.pallas_kernels import kernel_vmem_fits
         self._use_pallas = (cfg.use_pallas if cfg.use_pallas is not None
                             else (self._krylov_fixed is not None
-                                  and jax.default_backend() == "tpu"))
+                                  and jax.default_backend() == "tpu"
+                                  and kernel_vmem_fits(cfg.Nx + 1,
+                                                       cfg.Ny + 1)))
         self._simulate = jax.jit(self._march_impl)
         self.last_stats = None
 

@@ -31,6 +31,22 @@ except Exception:  # pragma: no cover
     pltpu = None
     _HAS_PLTPU = False
 
+def kernel_vmem_fits(n: int, m: int, dtype_bytes: int = 4,
+                     vmem_limit: int = 16 * 2**20) -> bool:
+    """Whether the fused BiCGStab kernels fit the per-core VMEM budget.
+
+    The whole solve is VMEM-resident: 6 operator matrices plus the Krylov
+    carry and its temporaries. Mosaic's measured stack allocation at
+    n=m=257 f32 was 19.22 MB (~47 field-sized buffers after (8,128)
+    tiling pads) against a 16 MB scoped limit — model it as 48 buffers
+    with a small safety margin so 64x64/128x128 stay on the fused path
+    and 256x256 falls back to the composed-XLA solve.
+    """
+    pad = lambda a, k: -(-a // k) * k
+    field = pad(n, 8) * pad(m, 128) * dtype_bytes
+    return 48 * field <= int(0.95 * vmem_limit)
+
+
 # Mosaic lowers only DEFAULT (bf16 passes) and HIGHEST (fp32) dot precision;
 # an ambient jax.default_matmul_precision("high") context (the forward path's
 # auto-resolved setting) would otherwise leak into the kernel and fail to
