@@ -11,8 +11,10 @@ scripts/ref_baseline_2d.py running the actual reference code): it processes
 1/pgd_iter_s_mean scenario-iterations per second (single scenario, its only
 mode). vs_baseline = ours / reference.
 
-Env overrides: VCH_BENCH_N (grid, default 64), VCH_BENCH_BATCH (default 16),
-VCH_BENCH_ITERS (default 3), VCH_BENCH_DTYPE (default float32 on TPU).
+Env overrides: VCH_BENCH_N (grid, default 64), VCH_BENCH_BATCH (default 32 —
+the measured single-chip throughput peak; see WEAK_SCALING.json
+tpu_batch_scaling), VCH_BENCH_ITERS (default 3), VCH_BENCH_DTYPE (default
+float32 on TPU).
 """
 from __future__ import annotations
 
@@ -37,10 +39,11 @@ def main():
     except Exception:
         pass
 
-    # Defaults match the persisted compilation cache (.jax_cache) so driver
-    # runs hit warm programs; override via env for other sizes.
+    # Defaults match programs already compiled through the axon compile
+    # service (it caches by program hash server-side; the local
+    # JAX_COMPILATION_CACHE_DIR is set for non-axon environments).
     N = int(os.environ.get("VCH_BENCH_N", "64"))
-    B = int(os.environ.get("VCH_BENCH_BATCH", "8"))
+    B = int(os.environ.get("VCH_BENCH_BATCH", "32"))
     iters = int(os.environ.get("VCH_BENCH_ITERS", "3"))
     on_tpu = jax.default_backend() != "cpu"
     dtype = os.environ.get("VCH_BENCH_DTYPE",

@@ -93,9 +93,22 @@ def main():
             sc, phi0=tile(sc.phi0), phi_T=tile(sc.phi_T), phi_Q=tile(sc.phi_Q),
             b1=tile(sc.b1), b2=tile(sc.b2), b3=tile(sc.b3),
             kappa_spar=tile(sc.kappa_spar))
+        # stage on-device (sharded when a mesh is given) and leave results
+        # device-resident: efficiency should measure the solver, not
+        # B-proportional host<->device transfers (see run_benchmarks._stage)
+        import jax.numpy as jnp
+        from vch_tpu.parallel.mesh import batch_sharding
+        dt_j = jnp.float32 if dtype == "float32" else jnp.float64
+        sh = batch_sharding(mesh) if mesh is not None else None
+        st = lambda a: jax.device_put(jnp.asarray(a, dt_j), sh)
+        sc = dataclasses.replace(
+            sc, phi0=st(sc.phi0), phi_T=st(sc.phi_T), phi_Q=st(sc.phi_Q),
+            b1=st(sc.b1), b2=st(sc.b2), b3=st(sc.b3),
+            kappa_spar=st(sc.kappa_spar))
         prob.run(sc, max_iter=1, verbose=False)       # compile
         t0 = time.perf_counter()
-        out = prob.run(sc, max_iter=args.iters, verbose=False)
+        out = prob.run(sc, max_iter=args.iters, verbose=False,
+                       host_results=False)
         el = time.perf_counter() - t0
         assert np.all(np.isfinite(out["cost_history"]))
         return el, out
