@@ -42,7 +42,8 @@ def main():
     for trips in [int(t) for t in args.trips.split(",")]:
         cfg = ForwardSolverConfig2D(
             Nx=args.n, Ny=args.n, T=1.0, dtype="float32", newton_tol=2e-4,
-            krylov_fixed_iters=trips, forward_matmul_precision="high")
+            krylov_fixed_iters=trips, adjoint_krylov_fixed_iters=10,
+            forward_matmul_precision="high")
         prob = BatchedProblem2D(cfg)
         sc = sweep_2d(cfg, b3_values=np.linspace(5e-5, 2e-4,
                                                  max(1, args.b // 4)),

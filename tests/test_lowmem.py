@@ -122,3 +122,80 @@ def test_lowmem_batched_pgd_matches_full_memory_pgd():
                                rtol=1e-9)
     np.testing.assert_allclose(out_l["u"], out_f["u"], atol=1e-10)
     assert out_l["newton_solves"] == out_f["newton_solves"]
+
+
+def test_lowmem_f32_fixed_trip_adjoint_matches_full_memory():
+    """The f32 path routes the lowmem adjoint recomputation through the
+    fixed-trip split-preconditioned solve (bicgstab_split_fixed, the
+    composed-XLA analog of the fused Pallas kernel) — it must agree with
+    the full-memory f32 adjoint, which uses the same solver family."""
+    cfg = ForwardSolverConfig2D(Nx=16, Ny=16, T=0.1, dt_initial=1e-2,
+                                dtype="float32", newton_tol=2e-4)
+    s = ForwardSolver2D(cfg)
+    assert s._krylov_fixed is not None     # f32 selects fixed-trip Krylov
+    lp = LowMemPipeline2D(cfg, K=4)
+    rng = np.random.default_rng(3)
+    u = (0.05 * rng.standard_normal((s.M + 1, 17, 17))).astype(np.float32)
+    phi_hist, (x, y), t = s.simulate(control=u)
+    phi_T, phi_Q = build_targets_2d(x, y, t, np.asarray(phi_hist[0]),
+                                    1.0, 1.0, cfg.T)
+    adj = AdjointSolver2D(cfg)
+    _, _, r_full = map(np.asarray,
+                       adj.run(np.asarray(phi_hist), t, 5.0, 10.0,
+                               phi_Q, phi_T))
+    r_low = np.asarray(lp.adjoint_r(u, b1=5.0, b2=10.0, phi_Q=phi_Q,
+                                    phi_T_target=phi_T))
+    assert np.all(np.isfinite(r_low))
+    scale = np.abs(r_full).max()
+    # f32: segment recomputation reproduces phi to the last ulp only, and
+    # the Krylov iterates amplify that — 3e-5 relative observed; gate at 1e-4
+    assert np.abs(r_low - r_full).max() < 1e-4 * max(scale, 1e-30)
+
+
+def test_lowmem_procedural_phi_Q_matches_materialized():
+    """phi_Q=None + phi_Q_mode='ramp' synthesizes the tracking target per
+    segment on device (O(1) memory instead of O(M) frames per member) and
+    must reproduce the materialized-phi_Q run exactly — same formula
+    (targets.py choice_q=1), same PGD trajectory."""
+    from vch_tpu.parallel.batch import LowMemBatchedProblem2D, sweep_2d
+
+    cfg = ForwardSolverConfig2D(Nx=16, Ny=16, T=0.13, dt_initial=2e-2)
+    sc_mat = sweep_2d(cfg, b3_values=[1e-4, 2e-4])
+    sc_proc = sweep_2d(cfg, b3_values=[1e-4, 2e-4], materialize_phi_Q=False)
+    assert sc_proc.phi_Q is None and sc_proc.phi_Q_mode == "ramp"
+
+    out_m = LowMemBatchedProblem2D(cfg, K=3).run(sc_mat, max_iter=3,
+                                                 verbose=False)
+    out_p = LowMemBatchedProblem2D(cfg, K=3).run(sc_proc, max_iter=3,
+                                                 verbose=False)
+    np.testing.assert_allclose(out_p["cost_history"], out_m["cost_history"],
+                               rtol=1e-12)
+    np.testing.assert_allclose(out_p["u"], out_m["u"], atol=1e-13)
+    assert out_p["newton_solves"] == out_m["newton_solves"]
+
+
+def test_lowmem_procedural_zeros_mode():
+    """choice_q=2 (zero tracking target) also runs procedurally and matches
+    its materialized counterpart."""
+    from vch_tpu.parallel.batch import LowMemBatchedProblem2D, sweep_2d
+
+    cfg = ForwardSolverConfig2D(Nx=16, Ny=16, T=0.1, dt_initial=1e-2)
+    sc_mat = sweep_2d(cfg, b3_values=[1e-4], choice_q=2)
+    sc_proc = sweep_2d(cfg, b3_values=[1e-4], choice_q=2,
+                       materialize_phi_Q=False)
+    assert sc_proc.phi_Q_mode == "zeros"
+    out_m = LowMemBatchedProblem2D(cfg, K=4).run(sc_mat, max_iter=2,
+                                                 verbose=False)
+    out_p = LowMemBatchedProblem2D(cfg, K=4).run(sc_proc, max_iter=2,
+                                                 verbose=False)
+    np.testing.assert_allclose(out_p["cost_history"], out_m["cost_history"],
+                               rtol=1e-12)
+
+
+def test_procedural_phi_Q_rejected_by_full_memory_problem():
+    from vch_tpu.parallel.batch import BatchedProblem2D, sweep_2d
+
+    cfg = ForwardSolverConfig2D(Nx=16, Ny=16, T=0.1)
+    sc = sweep_2d(cfg, b3_values=[1e-4], materialize_phi_Q=False)
+    with pytest.raises(ValueError, match="LowMemBatchedProblem2D"):
+        BatchedProblem2D(cfg).run(sc, max_iter=1, verbose=False)

@@ -114,3 +114,39 @@ def test_batched_2d_matches_single_scenario(golden_2d):
     for b in range(2):
         rel = np.abs(out["cost_history"][:, b] - ref) / np.abs(ref)
         assert rel.max() < 1e-6, rel
+
+
+def test_batched_metrics_jsonl_and_advisor(tmp_path):
+    """metrics_path streams one JSON object per PGD iteration plus a
+    run_done record (the machine-readable analog of the reference's printed
+    logs, SURVEY.md section 5), and the batched runner reports per-member
+    alpha-advisor state (ref GD_1D.py:388-404 vectorized)."""
+    import json
+
+    from vch_tpu.control.pgd import PGDSettings
+
+    cfg = ForwardSolverConfig1D(N=48, T=0.2)
+    sc = sweep_1d(cfg, OptimizationConfig(), b3_values=[1e-3, 2e-3],
+                  kappa_values=[1e-4])
+    # advisor normally starts at iter 100; pull it forward for the test
+    settings = PGDSettings.defaults_1d()
+    import dataclasses
+    settings = dataclasses.replace(settings, advisor_start_iter=1)
+    path = str(tmp_path / "metrics.jsonl")
+    out = BatchedProblem1D(cfg, settings=settings).run(
+        sc, max_iter=3, verbose=False, metrics_path=path)
+
+    with open(path) as f:
+        records = [json.loads(line) for line in f]
+    iters = [r for r in records if r["event"] == "pgd_iter"]
+    done = [r for r in records if r["event"] == "run_done"]
+    assert len(iters) == 3 and len(done) == 1
+    assert {"k", "mean_cost", "converged", "max_trials",
+            "newton_solves", "mean_alpha"} <= set(iters[0])
+    assert done[0]["newton_solves"] == out["newton_solves"] > 0
+    assert set(done[0]["timers"]) == set(out["timers"])
+
+    # optimistic steps succeed from iter >= 2 here, so the advisor has data
+    adv = out["advisor_alpha"]
+    assert adv.shape == (2,)
+    assert np.isfinite(adv).all() and (adv > 0).all()

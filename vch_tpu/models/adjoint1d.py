@@ -52,7 +52,8 @@ class AdjointSolver1D:
         self._op1d = (make_spectral_op_1d(cfg.N, self.h, self.dtype)
                       if self._use_spectral else None)
         self._krylov_fixed = (None if self.dtype == jnp.float64
-                              else cfg.krylov_fixed_iters)
+                              else (cfg.adjoint_krylov_fixed_iters
+                                    or cfg.krylov_fixed_iters))
         self._krylov_tol = (cfg.krylov_tol if self.dtype == jnp.float64
                             else max(cfg.krylov_tol, 1e-6))
         self._run = jax.jit(self._run_impl)

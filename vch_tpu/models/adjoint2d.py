@@ -26,7 +26,9 @@ import jax.numpy as jnp
 
 from vch_tpu.config import ForwardSolverConfig2D
 from vch_tpu.ops.laplacian import apply_laplacian_2d
-from vch_tpu.ops.linsolve import bicgstab_split, make_spectral_op_2d, from_spectral, to_spectral
+from vch_tpu.ops.linsolve import (bicgstab_split, bicgstab_split_fixed,
+                                  make_spectral_op_2d, from_spectral,
+                                  to_spectral)
 from vch_tpu.ops.potential import fpp_log
 
 
@@ -44,7 +46,8 @@ class AdjointSolver2D:
         self.krylov_tol = (cfg.krylov_tol if self.dtype == jnp.float64
                            else max(cfg.krylov_tol, 1e-6))
         self._krylov_fixed = (None if self.dtype == jnp.float64
-                              else cfg.krylov_fixed_iters)
+                              else (cfg.adjoint_krylov_fixed_iters
+                                    or cfg.krylov_fixed_iters))
         # Fused Pallas split-preconditioned solve (whole Krylov loop in
         # VMEM): same auto rule as the forward solver — f32 fixed-trip path
         # on TPU, gated on the solve fitting VMEM (see forward2d). The
@@ -114,6 +117,13 @@ class AdjointSolver2D:
                     inv_sqrt_denom, fpp_n, rhs, p_next, tau, 0.5 * dt,
                     n_iter=self._krylov_fixed,
                     interpret=self._pallas_interpret)
+            elif self._krylov_fixed is not None:
+                # f32 without VMEM fit (256x256): same split conditioning
+                # and trip policy, composed XLA ops
+                p_n = bicgstab_split_fixed(apply_A, rhs, apply_Phalf,
+                                           apply_Phalf_inv,
+                                           n_iter=self._krylov_fixed,
+                                           x0=p_next)
             else:
                 p_n = bicgstab_split(apply_A, rhs, apply_Phalf,
                                      apply_Phalf_inv, tol=self.krylov_tol,

@@ -32,7 +32,8 @@ from vch_tpu.models.adjoint2d import AdjointSolver2D
 from vch_tpu.models.forward1d import ForwardSolver1D, newton_1d, solve_w
 from vch_tpu.models.forward2d import ForwardSolver2D, newton_2d
 from vch_tpu.ops.laplacian import apply_laplacian_2d
-from vch_tpu.ops.linsolve import bicgstab_split, from_spectral, to_spectral
+from vch_tpu.ops.linsolve import (bicgstab_split, bicgstab_split_fixed,
+                                  from_spectral, to_spectral)
 from vch_tpu.ops.potential import fpp_log
 
 
@@ -135,9 +136,20 @@ class _Adapter2D:
         def Phalf_inv(v):
             return from_spectral(op, to_spectral(op, v) / inv_sqrt)
 
-        p_n = bicgstab_split(apply_A, rhs, Phalf, Phalf_inv,
-                             tol=self.adjoint.krylov_tol,
-                             max_iter=cfg.krylov_max_iter, x0=p_next)
+        adj = self.adjoint
+        if adj._use_pallas and adj._krylov_fixed is not None:
+            from vch_tpu.ops.pallas_kernels import bicgstab_adjoint_pallas
+            p_n = bicgstab_adjoint_pallas(
+                op.Lx, op.Ly.T, op.Vx_inv, op.Vy_inv.T, op.Vx, op.Vy.T,
+                inv_sqrt, fpp_n, rhs, p_next, tau, 0.5 * dt,
+                n_iter=adj._krylov_fixed, interpret=adj._pallas_interpret)
+        elif adj._krylov_fixed is not None:
+            p_n = bicgstab_split_fixed(apply_A, rhs, Phalf, Phalf_inv,
+                                       n_iter=adj._krylov_fixed, x0=p_next)
+        else:
+            p_n = bicgstab_split(apply_A, rhs, Phalf, Phalf_inv,
+                                 tol=adj.krylov_tol,
+                                 max_iter=cfg.krylov_max_iter, x0=p_next)
         q_n = -lap(p_n)
         den = gamma + 0.5 * dt
         r_n = ((gamma - 0.5 * dt) / den * r_next
@@ -226,9 +238,14 @@ class _Adapter1D:
             def Phalf_inv(v):
                 return ((v @ op.Vinv.T) / inv_sqrt) @ op.V.T
 
-            p_n = bicgstab_split(apply_A, rhs, Phalf, Phalf_inv,
-                                 tol=adj._krylov_tol, max_iter=200,
-                                 x0=p_next)
+            if adj._krylov_fixed is not None:
+                p_n = bicgstab_split_fixed(apply_A, rhs, Phalf, Phalf_inv,
+                                           n_iter=adj._krylov_fixed,
+                                           x0=p_next)
+            else:
+                p_n = bicgstab_split(apply_A, rhs, Phalf, Phalf_inv,
+                                     tol=adj._krylov_tol, max_iter=200,
+                                     x0=p_next)
         else:
             I = jnp.eye(L.shape[0], dtype=self.dtype)
             A = (I - tau * L + 0.5 * dt * (L @ L)
@@ -266,6 +283,28 @@ class _LowMemCore:
         self.t_np = (np.asarray(t_hist, np.float64) if t_hist is not None
                      else np.concatenate([[0.0], np.cumsum(self.dts_np)]))
         self.dtype = adapter.dtype
+        # Procedural targets: when phi_Q is passed as None, tracking-target
+        # frames are synthesized per segment instead of stored — the ramp
+        # (control/targets.py choice_q=1) is (1 - t/T) phi0 + (t/T) phi_T,
+        # "zeros" is choice_q=2. Storing phi_Q is O(M) HBM per member
+        # (1.7 GB at 128x128 B=256) for data that is a closed form of
+        # (phi0, phi_T, t); synthesizing it is what lets BASELINE config-4/5
+        # batch sizes fit one chip. Mode is read at TRACE time.
+        self.phi_Q_mode = "ramp"
+
+    def _phiQ_seg(self, phi_Q, start, length, phi0, phi_T_ref):
+        """Segment [start, start+length) of the tracking target: sliced from
+        the stored array, or synthesized (ramp/zeros) when phi_Q is None.
+        `start` may be a traced index (dynamic_slice)."""
+        if phi_Q is not None:
+            return jax.lax.dynamic_slice_in_dim(phi_Q, start, length, axis=0)
+        if self.phi_Q_mode == "zeros":
+            return jnp.zeros((length,) + phi0.shape, self.dtype)
+        assert self.phi_Q_mode == "ramp", self.phi_Q_mode
+        t = jnp.asarray(self.t_np / self.t_np[-1], self.dtype)
+        tp = jax.lax.dynamic_slice_in_dim(t, start, length, axis=0)
+        tp = tp.reshape((length,) + (1,) * phi0.ndim)
+        return (1.0 - tp) * phi0[None] + tp * phi_T_ref[None]
 
     # -- segment machinery -------------------------------------------------
     def _segment_scan(self, phi, mu, w, u_seg, dt_seg, m0):
@@ -292,8 +331,11 @@ class _LowMemCore:
         return jnp.sum(0.5 * dt_seg * (g[:-1] + g[1:]))
 
     # -- forward -----------------------------------------------------------
-    def forward_ckpt(self, u, phi0, phi_Q) -> LowMemState:
-        """Checkpointed forward march accumulating J1; pure jnp (vmappable)."""
+    def forward_ckpt(self, u, phi0, phi_Q, phi_T_ref=None) -> LowMemState:
+        """Checkpointed forward march accumulating J1; pure jnp (vmappable).
+
+        phi_Q=None synthesizes target frames per segment (see _phiQ_seg);
+        phi_T_ref is the ramp endpoint (the scenario's terminal target)."""
         K, S = self.K, self.S_full
         a = self.a
         dts = jnp.asarray(self.dts_np, self.dtype)
@@ -303,7 +345,7 @@ class _LowMemCore:
             phi, mu, w, ns, j1 = carry
             u_seg = jax.lax.dynamic_slice_in_dim(u, i * K, K + 1, axis=0)
             dt_seg = jax.lax.dynamic_slice_in_dim(dts, i * K, K, axis=0)
-            pQ_seg = jax.lax.dynamic_slice_in_dim(phi_Q, i * K, K + 1, axis=0)
+            pQ_seg = self._phiQ_seg(phi_Q, i * K, K + 1, phi0, phi_T_ref)
             (phi_f, mu_f, w_f), phis, k = self._segment_scan(
                 phi, mu, w, u_seg, dt_seg, m0)
             j1 = j1 + self._seg_j1(phis, pQ_seg, dt_seg)
@@ -327,7 +369,7 @@ class _LowMemCore:
             ck_w = jnp.concatenate([ck_w, w_e[None]], axis=0)
             u_t = u[S * K:]
             dt_t = dts[S * K:]
-            pQ_t = phi_Q[S * K:]
+            pQ_t = self._phiQ_seg(phi_Q, S * K, self.rem + 1, phi0, phi_T_ref)
             (phi_e, mu_e, w_e), phis_t, k_t = self._segment_scan(
                 phi_e, mu_e, w_e, u_t, dt_t, m0)
             j1 = j1 + self._seg_j1(phis_t, pQ_t, dt_t)
@@ -356,8 +398,8 @@ class _LowMemCore:
         K, S, rem = self.K, self.S_full, self.rem
         a = self.a
         dts = jnp.asarray(self.dts_np, self.dtype)
-        _, _, m0 = a.init_state(state.ck_phi[0] if (S + (rem > 0)) > 0
-                                else state.phi_T)
+        phi0 = state.ck_phi[0] if (S + (rem > 0)) > 0 else state.phi_T
+        _, _, m0 = a.init_state(phi0)
 
         p, q, r = a.terminal(state.phi_T, phi_T_target, b2)
         r_T = r
@@ -377,8 +419,8 @@ class _LowMemCore:
             (_, phis_t, _) = self._segment_scan(
                 state.ck_phi[S], state.ck_mu[S], state.ck_w[S],
                 u[i0:], dts[i0:], m0)
-            (p, q, r), r_tail = adj_seg((p, q, r), phis_t, phi_Q[i0:],
-                                        dts[i0:])
+            pQ_t = self._phiQ_seg(phi_Q, i0, rem + 1, phi0, phi_T_target)
+            (p, q, r), r_tail = adj_seg((p, q, r), phis_t, pQ_t, dts[i0:])
         else:
             r_tail = None
 
@@ -387,8 +429,8 @@ class _LowMemCore:
                 i = S - 1 - s_idx
                 u_seg = jax.lax.dynamic_slice_in_dim(u, i * K, K + 1, axis=0)
                 dt_seg = jax.lax.dynamic_slice_in_dim(dts, i * K, K, axis=0)
-                pQ_seg = jax.lax.dynamic_slice_in_dim(phi_Q, i * K, K + 1,
-                                                      axis=0)
+                pQ_seg = self._phiQ_seg(phi_Q, i * K, K + 1, phi0,
+                                        phi_T_target)
                 (_, phis, _) = self._segment_scan(
                     state.ck_phi[i], state.ck_mu[i], state.ck_w[i],
                     u_seg, dt_seg, m0)

@@ -223,6 +223,25 @@ def bicgstab_split(apply_A: Callable, b: jnp.ndarray, apply_Phalf: Callable,
     return apply_Phalf(y)
 
 
+def bicgstab_split_fixed(apply_A: Callable, b: jnp.ndarray,
+                         apply_Phalf: Callable, apply_Phalf_inv: Callable,
+                         n_iter: int, x0: jnp.ndarray | None = None):
+    """Fixed-trip-count variant of bicgstab_split (see both docstrings).
+
+    The composed-XLA analog of pallas_kernels.bicgstab_adjoint_pallas: same
+    split conditioning, same bicgstab_fixed freeze/best-iterate policy —
+    used on the f32/TPU path when the fused kernel does not fit VMEM
+    (256x256) and in the low-memory adjoint recomputation."""
+    bt = apply_Phalf(b)
+    y0 = None if x0 is None else apply_Phalf_inv(x0)
+
+    def apply_At(v):
+        return apply_Phalf(apply_A(apply_Phalf(v)))
+
+    y = bicgstab_fixed(apply_At, bt, lambda v: v, n_iter=n_iter, x0=y0)
+    return apply_Phalf(y)
+
+
 # ---------------------------------------------------------------------------
 # 1D Newton Schur solve (dense, batched)
 # ---------------------------------------------------------------------------

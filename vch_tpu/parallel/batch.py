@@ -43,13 +43,18 @@ class ScenarioBatch:
 
     phi0: np.ndarray        # (B, *space)
     phi_T: np.ndarray       # (B, *space)
-    phi_Q: np.ndarray       # (B, M+1, *space)
+    phi_Q: Optional[np.ndarray]   # (B, M+1, *space), or None when procedural
     b1: np.ndarray          # (B,)
     b2: np.ndarray          # (B,)
     b3: np.ndarray          # (B,)
     kappa_spar: np.ndarray  # (B,)
     u_min: float = -1.0
     u_max: float = 1.0
+    # procedural tracking target, used when phi_Q is None: "ramp" is the
+    # linear time-ramp phi0 -> phi_T (targets.py choice_q=1), "zeros" is
+    # choice_q=2. Synthesized per segment on device instead of storing
+    # O(M) frames per member (models/lowmem._phiQ_seg).
+    phi_Q_mode: Optional[str] = None
 
     @property
     def batch(self) -> int:
@@ -84,8 +89,15 @@ def sweep_1d(fwd_config: ForwardSolverConfig1D,
 def sweep_2d(fwd_config: ForwardSolverConfig2D,
              opt_config: Optional[OptimizationConfig] = None,
              b3_values=None, kappa_values=None,
-             choice_t: int = 1, choice_q: int = 1) -> ScenarioBatch:
-    """2D sweep batch (BASELINE.md benchmark configs 4-5)."""
+             choice_t: int = 1, choice_q: int = 1,
+             materialize_phi_Q: bool = True) -> ScenarioBatch:
+    """2D sweep batch (BASELINE.md benchmark configs 4-5).
+
+    materialize_phi_Q=False stores NO tracking-target frames — phi_Q is a
+    closed form of (phi0, phi_T, t) for both reference target choices, and
+    the low-memory problem synthesizes it per segment on device
+    (ScenarioBatch.phi_Q_mode). At config-4 scale the stored array is
+    1.7 GB (B=256) of pure redundancy."""
     opt = opt_config or OptimizationConfig.defaults_2d()
     solver = ForwardSolver2D(fwd_config)
     phi0 = solver.default_initial_phi()
@@ -99,10 +111,13 @@ def sweep_2d(fwd_config: ForwardSolverConfig2D,
     B = g_b3.size
     rep = lambda a: np.broadcast_to(a, (B,) + a.shape).copy()
     return ScenarioBatch(
-        phi0=rep(phi0), phi_T=rep(phi_T), phi_Q=rep(phi_Q),
+        phi0=rep(phi0), phi_T=rep(phi_T),
+        phi_Q=rep(phi_Q) if materialize_phi_Q else None,
         b1=np.full(B, opt.b1), b2=np.full(B, opt.b2),
         b3=g_b3.ravel(), kappa_spar=g_ks.ravel(),
-        u_min=opt.u_min, u_max=opt.u_max)
+        u_min=opt.u_min, u_max=opt.u_max,
+        phi_Q_mode=None if materialize_phi_Q
+        else ("ramp" if choice_q == 1 else "zeros"))
 
 
 class _BatchedPGDBase:
@@ -117,13 +132,17 @@ class _BatchedPGDBase:
         # Host-driven search (see ProximalGradientLoop.search_mode='host'):
         # each jitted piece keeps the forward scan at top level — the fused
         # search-while(forward-scan) nesting faults the axon TPU runtime.
-        def _adjoint_grad(u, phi, b1, b2, b3, phi_Q, phi_T):
-            r = self._adjoint(phi, u, b1, b2, phi_Q, phi_T)
-            return r, r + b3 * u
+        def _adjoint_only(u, phi, b1, b2, phi_Q, phi_T):
+            return self._adjoint(phi, u, b1, b2, phi_Q, phi_T)
 
-        def _trial(u, grad, alpha, phi0, phi_Q, phi_T, b1, b2, b3, ks):
+        def _trial(u, r, alpha, phi0, phi_Q, phi_T, b1, b2, b3, ks):
+            # grad = r + b3 u computed HERE (fused into the prox) rather
+            # than persisted across the search: a control-shaped buffer is
+            # 1.7 GB at config-4 scale (B=256, 128x128) and HBM residency,
+            # not FLOPs, is what bounds the max batch per chip
+            grad = r + b3 * u
             u_t = proximal_step(u, grad, alpha, ks, self.u_min, self.u_max)
-            phi_t, nsolve = self._forward_stats(u_t, phi0, phi_Q)
+            phi_t, nsolve = self._forward_stats(u_t, phi0, phi_Q, phi_T)
             c_t = self._cost(phi_t, u_t, phi_Q, phi_T, b1, b2, b3, ks)
             return u_t, phi_t, c_t, nsolve
 
@@ -140,12 +159,19 @@ class _BatchedPGDBase:
                     / (jnp.linalg.norm(u.reshape(u.shape[0], -1), axis=1)
                        + 1e-9))
 
-        self._adjoint_grad_v = self._maybe_shard(jax.vmap(_adjoint_grad))
+        self._adjoint_v = self._maybe_shard(jax.vmap(_adjoint_only))
         self._trial_v = self._maybe_shard(jax.vmap(_trial))
-        self._merge_v = jax.jit(_merge)
+        # donate both merge operands on TPU: after the masked select neither
+        # the trial outputs nor the previous selection are referenced again,
+        # and each is a full (u, state/trajectory, cost) set — reusing the
+        # buffers trims ~2 control-shaped arrays off the search's peak HBM
+        # (donation is unimplemented on the CPU backend and would just warn)
+        self._merge_v = (jax.jit(_merge, donate_argnums=(1, 2))
+                         if jax.default_backend() == "tpu" else jax.jit(_merge))
         self._change_v = jax.jit(_change)
         self._forward_v = self._maybe_shard(
-            jax.vmap(lambda u, p0, pQ: self._forward_stats(u, p0, pQ)))
+            jax.vmap(lambda u, p0, pQ, pT: self._forward_stats(u, p0, pQ,
+                                                               pT)))
         self._cost_v = self._maybe_shard(jax.vmap(self._cost))
 
     def _maybe_shard(self, fn):
@@ -154,7 +180,15 @@ class _BatchedPGDBase:
         replicated and the mesh-sharded cases."""
         return jax.jit(fn)
 
-    def _search(self, u, phi_b, cost_np, alpha_prev_np, r, grad, phi0,
+    def _set_phi_Q_mode(self, mode: Optional[str]):
+        """Procedural tracking targets (ScenarioBatch.phi_Q=None) need a
+        problem class that synthesizes them; the default batched problems
+        require materialized phi_Q."""
+        raise ValueError(
+            "ScenarioBatch.phi_Q=None (procedural targets) is supported by "
+            "LowMemBatchedProblem2D only; pass a materialized phi_Q here")
+
+    def _search(self, u, phi_b, cost_np, alpha_prev_np, r, phi0,
                 phi_Q, phi_T, b1, b2, b3, ks, dtype):
         """Masked host-driven optimistic+backtracking over the batch.
 
@@ -173,8 +207,11 @@ class _BatchedPGDBase:
         res = None
         res_alpha = alpha_prev_np.copy()
         solves = 0
+        phase = {"optimistic": 0.0, "backtracking": 0.0}
+        import time as _time
         for j in range(max_trials):
-            out = self._trial_v(u, grad, jnp.asarray(alpha_try, dtype),
+            t_j = _time.perf_counter()
+            out = self._trial_v(u, r, jnp.asarray(alpha_try, dtype),
                                 phi0, phi_Q, phi_T, b1, b2, b3, ks)
             c_np = np.asarray(out[2])
             # every member executes every round (masked merge); count the
@@ -194,12 +231,18 @@ class _BatchedPGDBase:
             n_trials = np.where(searching, j + 1, n_trials)
             if j == 0:
                 opt_ok = ok.copy()
+            # c_np is already fetched, so the device work of this round is
+            # drained: attribute it to the reference's phase taxonomy
+            # (optimistic_eval_total vs backtracking, GD_1D.py:563-576)
+            phase["optimistic" if j == 0 else "backtracking"] += (
+                _time.perf_counter() - t_j)
             searching = searching & ~ok
             if not searching.any():
                 break
             alpha_try = np.where(searching, nxt, alpha_try)
         u1, phi1, c1 = res
-        return u1, phi1, np.asarray(c1), res_alpha, n_trials, opt_ok, solves
+        return (u1, phi1, np.asarray(c1), res_alpha, n_trials, opt_ok, solves,
+                phase)
 
     def run(self, scenarios: ScenarioBatch, max_iter: int,
             verbose: bool = True, dtype=None,
@@ -242,13 +285,18 @@ class _BatchedPGDBase:
                             if shard else jnp.asarray(a, dtype))
         phi0 = as_dev(scenarios.phi0)
         phi_T = as_dev(scenarios.phi_T)
-        phi_Q = as_dev(scenarios.phi_Q)
+        if scenarios.phi_Q is None:
+            self._set_phi_Q_mode(scenarios.phi_Q_mode)
+            phi_Q = None
+        else:
+            phi_Q = as_dev(scenarios.phi_Q)
         b1, b2 = as_dev(scenarios.b1), as_dev(scenarios.b2)
         b3, ks = as_dev(scenarios.b3), as_dev(scenarios.kappa_spar)
         self.u_min, self.u_max = scenarios.u_min, scenarios.u_max
 
         timers = {"total_optimization": 0.0, "backward_total": 0.0,
-                  "line_search_total": 0.0}
+                  "line_search_total": 0.0, "optimistic_eval_total": 0.0,
+                  "backtracking_total": 0.0}
         newton_solves = 0
         t_run0 = _time.perf_counter()
 
@@ -257,7 +305,7 @@ class _BatchedPGDBase:
             from vch_tpu.utils.checkpoint import load_checkpoint
             state, meta = load_checkpoint(checkpoint_path)
             u = as_dev(state["u"])
-            phi, ns0 = self._forward_v(u, phi0, phi_Q)
+            phi, ns0 = self._forward_v(u, phi0, phi_Q, phi_T)
             newton_solves += int(np.asarray(ns0).sum())
             alpha = state["alpha"]
             plateau = state["plateau"].astype(int)
@@ -273,7 +321,7 @@ class _BatchedPGDBase:
             u = jnp.zeros((B,) + self._control_shape, dtype)
             if shard:
                 u = jax.device_put(u, sh)
-            phi, ns0 = self._forward_v(u, phi0, phi_Q)
+            phi, ns0 = self._forward_v(u, phi0, phi_Q, phi_T)
             newton_solves += int(np.asarray(ns0).sum())
             cost = self._cost_v(phi, u, phi_Q, phi_T, b1, b2, b3, ks)
             alpha = np.full((B,), self.alpha_max)
@@ -289,16 +337,18 @@ class _BatchedPGDBase:
 
         for k in range(k_start, max_iter):
             t0 = _time.perf_counter()
-            r, grad = self._adjoint_grad_v(u, phi, b1, b2, b3, phi_Q, phi_T)
-            jax.block_until_ready(grad)
+            r = self._adjoint_v(u, phi, b1, b2, phi_Q, phi_T)
+            jax.block_until_ready(r)
             t1 = _time.perf_counter()
             timers["backward_total"] += t1 - t0
             alpha_prev = alpha.copy()
             u_prev = u
-            u, phi, c_np, a_np, n_trials, opt_ok, solves = self._search(
-                u, phi, cost_hist[-1], alpha, r, grad, phi0, phi_Q, phi_T,
+            u, phi, c_np, a_np, n_trials, opt_ok, solves, phase = self._search(
+                u, phi, cost_hist[-1], alpha, r, phi0, phi_Q, phi_T,
                 b1, b2, b3, ks, dtype)
             timers["line_search_total"] += _time.perf_counter() - t1
+            timers["optimistic_eval_total"] += phase["optimistic"]
+            timers["backtracking_total"] += phase["backtracking"]
             newton_solves += solves
             ch_np = np.asarray(self._change_v(u, u_prev))
 
@@ -382,10 +432,10 @@ class BatchedProblem1D(_BatchedPGDBase):
                          mesh, use_mesh)
 
     def _forward(self, u_ref, phi0):
-        phi, _ = self._forward_stats(u_ref, phi0, None)
+        phi, _ = self._forward_stats(u_ref, phi0, None, None)
         return phi
 
-    def _forward_stats(self, u_ref, phi0, phi_Q=None):
+    def _forward_stats(self, u_ref, phi0, phi_Q=None, phi_T=None):
         M = self.solver.M
         phi, st = self.solver._march_impl(u_ref[: M + 1], phi0)
         return jnp.concatenate([phi[:1], phi], axis=0), st.newton_solves
@@ -406,7 +456,7 @@ class BatchedProblem1D(_BatchedPGDBase):
         # on a COPY of the caller's batch (mutating the input made a second
         # run() double-convert; VERDICT round-1 weak #4)
         pq = scenarios.phi_Q
-        if pq.shape[1] == self.solver.M + 1:
+        if pq is not None and pq.shape[1] == self.solver.M + 1:
             import dataclasses
             scenarios = dataclasses.replace(
                 scenarios,
@@ -439,7 +489,7 @@ class BatchedProblem2D(_BatchedPGDBase):
     def _forward(self, u, phi0):
         return self.solver._simulate_impl(u, phi0)
 
-    def _forward_stats(self, u, phi0, phi_Q=None):
+    def _forward_stats(self, u, phi0, phi_Q=None, phi_T=None):
         phi, st = self.solver._march_impl(u, phi0)
         return phi, st.newton_solves
 
@@ -478,8 +528,23 @@ class LowMemBatchedProblem2D(_BatchedPGDBase):
         super().__init__(settings or PGDSettings.defaults_2d(), alpha_max,
                          mesh, use_mesh)
 
-    def _forward_stats(self, u, phi0, phi_Q):
-        st = self.pipe.core.forward_ckpt(u, phi0, phi_Q)
+    def _set_phi_Q_mode(self, mode: Optional[str]):
+        if mode not in ("ramp", "zeros"):
+            raise ValueError(f"phi_Q=None requires phi_Q_mode in "
+                             f"('ramp', 'zeros'); got {mode!r}")
+        prev = getattr(self, "_phi_Q_mode", None)
+        if prev is not None and prev != mode:
+            # the mode is baked into the traced programs at compile time and
+            # a None phi_Q has the same pytree structure for both modes, so
+            # switching would silently reuse the stale compilation
+            raise ValueError(
+                f"phi_Q_mode already traced as {prev!r}; build a new "
+                f"LowMemBatchedProblem2D for mode {mode!r}")
+        self._phi_Q_mode = mode
+        self.pipe.core.phi_Q_mode = mode
+
+    def _forward_stats(self, u, phi0, phi_Q, phi_T=None):
+        st = self.pipe.core.forward_ckpt(u, phi0, phi_Q, phi_T_ref=phi_T)
         return st, st.newton_solves
 
     def _forward(self, u, phi0):
