@@ -94,7 +94,8 @@ def bench_config_3(iters: int):
 def _tile_batch(sc, batch):
     import dataclasses
     reps = -(-batch // sc.batch)
-    tile = lambda a: np.concatenate([a] * reps, axis=0)[:batch]
+    tile = lambda a: (None if a is None
+                      else np.concatenate([a] * reps, axis=0)[:batch])
     return dataclasses.replace(
         sc, phi0=tile(sc.phi0), phi_T=tile(sc.phi_T), phi_Q=tile(sc.phi_Q),
         b1=tile(sc.b1), b2=tile(sc.b2), b3=tile(sc.b3),
@@ -109,14 +110,16 @@ def _stage(sc, dtype: str):
     import jax
     import jax.numpy as jnp
     dt = jnp.float32 if dtype == "float32" else jnp.float64
-    st = lambda a: jax.device_put(jnp.asarray(a, dt))
+    st = lambda a: (None if a is None
+                    else jax.device_put(jnp.asarray(a, dt)))
     return dataclasses.replace(
         sc, phi0=st(sc.phi0), phi_T=st(sc.phi_T), phi_Q=st(sc.phi_Q),
         b1=st(sc.b1), b2=st(sc.b2), b3=st(sc.b3),
         kappa_spar=st(sc.kappa_spar))
 
 
-def bench_config_4(iters: int, batch: int = 64, lowmem: bool = False):
+def bench_config_4(iters: int, batch: int = 64, lowmem: bool = False,
+                   trips: int = None):
     """BASELINE config 4: 2D 128x128 batched scenarios, one chip/host.
 
     Measured (not estimated) Newton-solve counts come back in
@@ -133,11 +136,14 @@ def bench_config_4(iters: int, batch: int = 64, lowmem: bool = False):
     cfg = ForwardSolverConfig2D(
         Nx=128, Ny=128, T=1.0, dtype=dt,
         newton_tol=2e-4 if dt == "float32" else 1e-6,
-        forward_matmul_precision="high" if dt == "float32" else None)
+        forward_matmul_precision="high" if dt == "float32" else None,
+        **({"krylov_fixed_iters": trips,
+            "adjoint_krylov_fixed_iters": 10} if trips else {}))
     prob = (LowMemBatchedProblem2D(cfg, K=10) if lowmem
             else BatchedProblem2D(cfg))
     sc = sweep_2d(cfg, b3_values=np.linspace(5e-5, 2e-4, max(1, batch // 8)),
-                  kappa_values=np.linspace(5e-5, 2e-4, 8))
+                  kappa_values=np.linspace(5e-5, 2e-4, 8),
+                  materialize_phi_Q=not lowmem)
     sc = _tile_batch(sc, batch)
     sc = _stage(sc, dt)
     prob.run(sc, max_iter=1, verbose=False)           # compile
@@ -149,7 +155,7 @@ def bench_config_4(iters: int, batch: int = 64, lowmem: bool = False):
     mem = jax.local_devices()[0].memory_stats() or {}
     return {"scenario_iters_per_s": round(batch * iters / el, 4),
             "batch": batch, "grid": "128x128", "iters": iters,
-            "lowmem": lowmem,
+            "lowmem": lowmem, "krylov_trips": trips or cfg.krylov_fixed_iters,
             "elapsed_s": round(el, 2), "dtype": dt,
             "newton_solves": int(out["newton_solves"]),
             "newton_solves_per_s": round(out["newton_solves"] / el, 1),
@@ -173,7 +179,7 @@ def bench_config_5(iters: int, batch: int = 8, K: int = 10):
         forward_matmul_precision="high" if dt == "float32" else None)
     prob = LowMemBatchedProblem2D(cfg, K=K)
     sc = sweep_2d(cfg, b3_values=np.linspace(5e-5, 2e-4, max(1, batch // 2)),
-                  kappa_values=[5e-5, 1e-4])
+                  kappa_values=[5e-5, 1e-4], materialize_phi_Q=False)
     sc = _tile_batch(sc, batch)
     sc = _stage(sc, dt)
     prob.run(sc, max_iter=1, verbose=False)           # compile
@@ -199,11 +205,14 @@ def main():
     iters = 3
     batch = None
     lowmem = False
+    trips = None
     for a in sys.argv[1:]:
         if a.startswith("--iters"):
             iters = int(a.split("=")[1])
         if a.startswith("--batch"):
             batch = int(a.split("=")[1])
+        if a.startswith("--trips"):
+            trips = int(a.split("=")[1])
         if a == "--lowmem":
             lowmem = True
     configs = [int(a) for a in args] or [1, 3]
@@ -221,6 +230,8 @@ def main():
         if c == 4 and lowmem:
             kw["lowmem"] = True
             key = "config_4_lowmem"
+        if c == 4 and trips:
+            kw["trips"] = trips
         results[key] = fns[c](iters, **kw)
         print(json.dumps(results[key], indent=1), flush=True)
         with open(path, "w") as f:
