@@ -61,7 +61,26 @@ def main():
         Nx=N, Ny=N, T=1.0, dtype=dtype,
         newton_tol=2e-4 if dtype == "float32" else 1e-6,
         forward_matmul_precision=fwd_prec)
-    prob = BatchedProblem2D(cfg)
+    # Line-search straggler handling (both identical-semantics, tested in
+    # test_parallel.py):
+    #   default  — speculative ladder packing: idle batch rows evaluate
+    #              several backtracking candidates per straggler in ONE call
+    #              to the SAME compiled B-shape trial program (no extra
+    #              compile; a 6-trial episode costs ~2 rounds).
+    #   VCH_BENCH_STRAGGLER=k — straggler compaction instead: tail rounds run
+    #              a k-sized trial program (extra compile at the sub-shape;
+    #              measured slower at 64x64 where trials are latency-bound).
+    # VCH_BENCH_SEARCH: "plain" (default — fastest measured at the committed
+    # defaults: 22.7 it/s vs 15.2 speculative, 64x64 B=32 on-chip), "spec"
+    # (speculative ladder packing), or "straggler" (sub-batch compaction,
+    # size VCH_BENCH_STRAGGLER, default B/4). All identical semantics,
+    # parity-gated in tests/test_parallel.py.
+    sb = int(os.environ.get("VCH_BENCH_STRAGGLER", "0"))
+    mode = os.environ.get("VCH_BENCH_SEARCH", "plain")
+    if mode == "straggler" and sb == 0:
+        sb = max(1, B // 4)
+    prob = BatchedProblem2D(cfg, straggler_batch=sb if sb > 0 else None,
+                            speculative=(mode == "spec" and sb == 0))
     b3s = np.linspace(5e-5, 2e-4, max(1, B // 4))
     kss = np.linspace(5e-5, 2e-4, 4)[: max(1, min(4, B))]
     sc = sweep_2d(cfg, b3_values=b3s, kappa_values=kss)

@@ -150,3 +150,63 @@ def test_batched_metrics_jsonl_and_advisor(tmp_path):
     adv = out["advisor_alpha"]
     assert adv.shape == (2,)
     assert np.isfinite(adv).all() and (adv > 0).all()
+
+
+def test_batched_2d_straggler_compaction_matches_full():
+    """Straggler compaction (sub-batch backtracking rounds) is an identical-
+    semantics optimization: gathered trial + scatter must reproduce the
+    full-batch masked-merge run exactly. No reference analog."""
+    cfg = ForwardSolverConfig2D(Nx=16, Ny=16, T=0.15)
+    mk = lambda: sweep_2d(cfg, b3_values=[5e-5, 1e-4, 2e-4],
+                          kappa_values=[5e-5, 2e-4])
+    out_full = BatchedProblem2D(cfg, alpha_max=2000.0, speculative=False).run(
+        mk(), max_iter=8, verbose=False)
+    prob = BatchedProblem2D(cfg, alpha_max=2000.0, straggler_batch=4)
+    out_sub = prob.run(mk(), max_iter=8, verbose=False)
+    assert prob.straggler_rounds > 0, (
+        "compaction never engaged; tune the scenario so some backtracking "
+        "round has <= straggler_batch searching members")
+    # sub-batch XLA programs may associate grid reductions differently ->
+    # O(1e-14) f64 noise per accepted trial; semantics (accept decisions,
+    # alphas, trial counts) must be exact
+    np.testing.assert_allclose(out_sub["cost_history"],
+                               out_full["cost_history"], rtol=1e-11)
+    np.testing.assert_allclose(out_sub["u"], out_full["u"], rtol=0,
+                               atol=1e-12)
+    np.testing.assert_allclose(out_sub["alpha"], out_full["alpha"],
+                               rtol=1e-12)
+    assert out_sub["newton_solves"] < out_full["newton_solves"]
+
+
+@pytest.mark.parametrize("dim", ["1d", "2d"])
+def test_batched_speculative_matches_sequential(dim):
+    """Speculative ladder packing must reproduce the sequential masked
+    search exactly: same accepted iterates, same alphas, same per-member
+    trial counts — it only reorders WHEN candidates are evaluated."""
+    if dim == "1d":
+        cfg = ForwardSolverConfig1D(N=32, T=0.2)
+        mk = lambda: sweep_1d(cfg, b3_values=[1e-4, 5e-4, 2e-3],
+                              kappa_values=[1e-4, 1e-3])
+        mk_prob = lambda **kw: BatchedProblem1D(cfg, alpha_max=100.0, **kw)
+        max_iter = 10
+    else:
+        cfg = ForwardSolverConfig2D(Nx=16, Ny=16, T=0.15)
+        mk = lambda: sweep_2d(cfg, b3_values=[5e-5, 1e-4, 2e-4],
+                              kappa_values=[5e-5, 2e-4])
+        mk_prob = lambda **kw: BatchedProblem2D(cfg, alpha_max=2000.0, **kw)
+        max_iter = 8
+    out_seq = mk_prob(speculative=False).run(mk(), max_iter=max_iter,
+                                             verbose=False)
+    prob = mk_prob(speculative=True)
+    out_spec = prob.run(mk(), max_iter=max_iter, verbose=False)
+    assert prob.speculative_rounds > 0, (
+        "speculation never engaged; tune the scenario so some search episode "
+        "has <= B/2 members backtracking")
+    np.testing.assert_allclose(out_spec["cost_history"],
+                               out_seq["cost_history"], rtol=1e-11)
+    np.testing.assert_allclose(out_spec["u"], out_seq["u"], rtol=0,
+                               atol=1e-12)
+    np.testing.assert_allclose(out_spec["alpha"], out_seq["alpha"],
+                               rtol=1e-12)
+    np.testing.assert_array_equal(out_spec["ls_trials"],
+                                  out_seq["ls_trials"])

@@ -124,10 +124,29 @@ class _BatchedPGDBase:
     """Shared machinery: vmapped jitted iteration + vectorized host loop."""
 
     def __init__(self, settings: PGDSettings, alpha_max: float,
-                 mesh=None, use_mesh: bool = False):
+                 mesh=None, use_mesh: bool = False,
+                 straggler_batch: Optional[int] = None,
+                 speculative: Optional[bool] = None):
         self.s = settings
         self.alpha_max = alpha_max
         self.mesh = mesh if mesh is not None else (make_mesh() if use_mesh else None)
+        # Straggler compaction: once <= straggler_batch members are still
+        # backtracking, gather them into a smaller compiled trial program
+        # instead of re-running (and masking out) the whole batch. Identical
+        # semantics, ~B/straggler_batch fewer FLOPs per straggler round; one
+        # extra compile at the sub-batch shape. Single-chip only (a gather
+        # across a sharded batch axis would insert collectives per round).
+        self.straggler_batch = straggler_batch
+        self.straggler_rounds = 0   # diagnostic: sub-batch rounds taken
+        # Speculative ladder packing (see _search_speculative). OPT-IN:
+        # measured SLOWER than the plain masked search at the homogeneous
+        # 64x64 B=32 bench (15.2 vs 22.7 scenario-iters/s on-chip) — a packed
+        # round mixes easy and hard alpha candidates in one lockstep vmapped
+        # program, so the hardest row stalls every other row, and the gather
+        # moves the full scenario set through HBM each round. Useful only for
+        # strongly heterogeneous batches where a few members dominate trials.
+        self.speculative = bool(speculative)
+        self.speculative_rounds = 0
 
         # Host-driven search (see ProximalGradientLoop.search_mode='host'):
         # each jitted piece keeps the forward scan at top level — the fused
@@ -161,6 +180,24 @@ class _BatchedPGDBase:
 
         self._adjoint_v = self._maybe_shard(jax.vmap(_adjoint_only))
         self._trial_v = self._maybe_shard(jax.vmap(_trial))
+
+        def _gather(idx, *trees):
+            take = lambda a: None if a is None else jnp.take(a, idx, axis=0)
+            return jax.tree_util.tree_map(take, trees)
+
+        def _scatter(res, out_sub, idx, take_sub):
+            """Write accepted sub-batch trial results back into the full-batch
+            selection. Padding rows carry indices of NON-searching members
+            with take=False, so they rewrite their own current value (no-op)
+            and never collide with a real searching index."""
+            def upd(full, sub):
+                m = take_sub.reshape((-1,) + (1,) * (sub.ndim - 1))
+                return full.at[idx].set(jnp.where(m, sub, full[idx]))
+            return jax.tree_util.tree_map(upd, res, out_sub)
+
+        self._gather_v = jax.jit(_gather)
+        self._scatter_v = jax.jit(_scatter, donate_argnums=(0,)) \
+            if jax.default_backend() == "tpu" else jax.jit(_scatter)
         # donate both merge operands on TPU: after the masked select neither
         # the trial outputs nor the previous selection are referenced again,
         # and each is a full (u, state/trajectory, cost) set — reusing the
@@ -209,23 +246,50 @@ class _BatchedPGDBase:
         solves = 0
         phase = {"optimistic": 0.0, "backtracking": 0.0}
         import time as _time
+        sb = self.straggler_batch
         for j in range(max_trials):
             t_j = _time.perf_counter()
-            out = self._trial_v(u, r, jnp.asarray(alpha_try, dtype),
-                                phi0, phi_Q, phi_T, b1, b2, b3, ks)
-            c_np = np.asarray(out[2])
-            # every member executes every round (masked merge); count the
-            # Newton solves actually performed, measured from the while_loops
-            solves += int(np.asarray(out[3]).sum())
-            ok = c_np < cost_np
+            n_search = int(searching.sum())
             last = j == max_trials - 1
             nxt = np.where(j == 0, alpha_prev_np * s.ls_alpha_factor,
                            alpha_try * s.ls_beta)
-            take = searching & (ok | last)
-            if res is None:
-                res = out[:3]
+            use_sub = (sb is not None and j > 0 and res is not None
+                       and 0 < n_search <= sb < B and self.mesh is None)
+            if use_sub:
+                self.straggler_rounds += 1
+                # straggler compaction: gather the still-searching members
+                # (+ non-searching padding rows, whose writes are masked off
+                # and whose indices cannot collide with a searching one) into
+                # a sub-batch trial program — identical semantics, B/sb fewer
+                # FLOPs for the backtracking tail
+                idx = np.concatenate([
+                    np.nonzero(searching)[0],
+                    np.nonzero(~searching)[0][: sb - n_search]])
+                idx_j = jnp.asarray(idx)
+                g = self._gather_v(idx_j, u, r, phi0, phi_Q, phi_T,
+                                   b1, b2, b3, ks)
+                out = self._trial_v(g[0], g[1],
+                                    jnp.asarray(alpha_try[idx], dtype), *g[2:])
+                c_sub = np.asarray(out[2])
+                solves += int(np.asarray(out[3]).sum())
+                ok = np.zeros(B, dtype=bool)
+                ok[idx] = c_sub < cost_np[idx]
+                take = searching & (ok | last)
+                res = self._scatter_v(res, out[:3], idx_j,
+                                      jnp.asarray(take[idx]))
             else:
-                res = self._merge_v(jnp.asarray(take), out[:3], res)
+                out = self._trial_v(u, r, jnp.asarray(alpha_try, dtype),
+                                    phi0, phi_Q, phi_T, b1, b2, b3, ks)
+                c_np = np.asarray(out[2])
+                # every member executes every round (masked merge); count the
+                # Newton solves actually performed, from the while_loops
+                solves += int(np.asarray(out[3]).sum())
+                ok = c_np < cost_np
+                take = searching & (ok | last)
+                if res is None:
+                    res = out[:3]
+                else:
+                    res = self._merge_v(jnp.asarray(take), out[:3], res)
             res_alpha = np.where(take, np.where(ok, alpha_try, nxt),
                                  res_alpha)
             n_trials = np.where(searching, j + 1, n_trials)
@@ -240,6 +304,144 @@ class _BatchedPGDBase:
             if not searching.any():
                 break
             alpha_try = np.where(searching, nxt, alpha_try)
+        u1, phi1, c1 = res
+        return (u1, phi1, np.asarray(c1), res_alpha, n_trials, opt_ok, solves,
+                phase)
+
+    def _search_speculative(self, u, phi_b, cost_np, alpha_prev_np, r, phi0,
+                            phi_Q, phi_T, b1, b2, b3, ks, dtype):
+        """Reference-identical search, but the backtracking ladder is
+        evaluated SPECULATIVELY: once <= B/2 members are still searching,
+        one full-batch trial call packs several ladder candidates
+        alpha_prev*f*beta^(t-1) per straggler (round-robin over the B rows of
+        the SAME compiled trial program), and each member keeps its
+        first-succeeding candidate — exactly what the sequential schedule
+        would have selected, several rounds at a time. A 6-trial episode
+        costs ~2 rounds instead of 6. Single-chip path (a cross-member gather
+        over a sharded batch axis would insert collectives per round);
+        semantics parity is gated by
+        test_batched_2d_speculative_matches_sequential.
+        """
+        s = self.s
+        B = cost_np.shape[0]
+        max_trials = 1 + s.ls_max_trials
+        import time as _time
+        phase = {"optimistic": 0.0, "backtracking": 0.0}
+        solves = 0
+
+        # round 0: optimistic trial at alpha_prev for every member
+        t_j = _time.perf_counter()
+        out = self._trial_v(u, r, jnp.asarray(alpha_prev_np, dtype),
+                            phi0, phi_Q, phi_T, b1, b2, b3, ks)
+        c_np = np.asarray(out[2])
+        solves += int(np.asarray(out[3]).sum())
+        ok = c_np < cost_np
+        res = out[:3]
+        opt_ok = ok.copy()
+        phase["optimistic"] += _time.perf_counter() - t_j
+
+        searching = ~ok
+        pos = np.ones(B, dtype=int)         # ladder trials consumed so far
+        n_trials = np.ones(B, dtype=int)
+        res_alpha = np.where(ok, alpha_prev_np,
+                             alpha_prev_np * s.ls_alpha_factor)
+        lead = alpha_prev_np * s.ls_alpha_factor  # ladder head per member
+
+        def ladder(member, t):
+            # alpha of logical backtracking trial t (t = 1, 2, ...)
+            return lead[member] * s.ls_beta ** (t - 1)
+
+        while searching.any():
+            t_j = _time.perf_counter()
+            idx_s = np.nonzero(searching)[0]
+            n_s = idx_s.size
+            if n_s > B // 2:
+                # too many stragglers to pack >=2 candidates each: plain
+                # full-batch masked round, one ladder step per member
+                alpha_try = np.where(searching, ladder(np.arange(B), pos),
+                                     res_alpha)
+                out = self._trial_v(u, r, jnp.asarray(alpha_try, dtype),
+                                    phi0, phi_Q, phi_T, b1, b2, b3, ks)
+                c_np = np.asarray(out[2])
+                solves += int(np.asarray(out[3]).sum())
+                ok_full = (c_np < cost_np) & searching
+                pos_new = pos + searching
+                fail_out = searching & ~ok_full & (pos_new >= max_trials)
+                take = ok_full | fail_out
+                res = self._merge_v(jnp.asarray(take), out[:3], res)
+                res_alpha = np.where(
+                    ok_full, alpha_try,
+                    np.where(fail_out, alpha_try * s.ls_beta, res_alpha))
+                n_trials = np.where(take, pos_new, n_trials)
+                pos = pos_new
+                searching = searching & ~take
+                phase["backtracking"] += _time.perf_counter() - t_j
+                continue
+
+            # speculative packing: distribute the B rows of the SAME trial
+            # program round-robin over the stragglers' remaining ladders
+            self.speculative_rounds += 1
+            rem = max_trials - pos[idx_s]               # ladder steps left
+            base, extra = divmod(B, n_s)
+            counts = np.minimum(base + (np.arange(n_s) < extra), rem)
+            rows_m = np.repeat(idx_s, counts)
+            rows_t = np.concatenate(
+                [pos[m] + np.arange(c) for m, c in zip(idx_s, counts)])
+            n_rows = rows_m.size
+            idle = np.nonzero(~searching)[0]    # >= B/2 of them here
+            h = int(idle[0])
+            if n_rows < B:
+                # pad with an idle member; its rows never write back
+                rows_m = np.concatenate(
+                    [rows_m, np.full(B - n_rows, h, dtype=int)])
+                rows_t = np.concatenate(
+                    [rows_t, np.ones(B - n_rows, dtype=int)])
+            alpha_rows = ladder(rows_m, rows_t)
+
+            idx_j = jnp.asarray(rows_m)
+            g = self._gather_v(idx_j, u, r, phi0, phi_Q, phi_T,
+                               b1, b2, b3, ks)
+            out = self._trial_v(g[0], g[1], jnp.asarray(alpha_rows, dtype),
+                                *g[2:])
+            c_rows = np.asarray(out[2])
+            solves += int(np.asarray(out[3]).sum())
+            ok_rows = c_rows < cost_np[rows_m]
+
+            # per straggler: keep the FIRST succeeding candidate in ladder
+            # order — exactly what the sequential schedule would select
+            take_rows = np.zeros(B, dtype=bool)
+            tgt = np.full(B, h, dtype=int)
+            still = searching.copy()
+            for i, m in enumerate(idx_s):
+                rows_i = np.nonzero(rows_m[:n_rows] == m)[0]
+                hits = rows_i[ok_rows[rows_i]]
+                if hits.size:
+                    w = int(hits[0])                # rows_t ascending by
+                    take_rows[w] = True             # construction
+                    tgt[w] = m
+                    res_alpha[m] = alpha_rows[w]
+                    n_trials[m] = rows_t[w] + 1
+                    still[m] = False
+                else:
+                    pos[m] += rows_i.size
+                    if pos[m] >= max_trials:
+                        # failure-out: keep the LAST tried (worse) iterate
+                        # with alpha already shrunk once more
+                        # (GD_1D.py:110-113 semantics)
+                        w = int(rows_i[-1])
+                        take_rows[w] = True
+                        tgt[w] = m
+                        res_alpha[m] = alpha_rows[w] * s.ls_beta
+                        n_trials[m] = max_trials
+                        still[m] = False
+            # non-writing rows all target the idle slot h: their masked
+            # writes rewrite its current value (identical data, duplicate-
+            # safe), and h is never a chosen target
+            res = self._scatter_v(res, out[:3], jnp.asarray(tgt),
+                                  jnp.asarray(take_rows))
+            searching = still
+            phase["backtracking"] += _time.perf_counter() - t_j
+
         u1, phi1, c1 = res
         return (u1, phi1, np.asarray(c1), res_alpha, n_trials, opt_ok, solves,
                 phase)
@@ -334,6 +536,7 @@ class _BatchedPGDBase:
         # running sum/count of alphas that succeeded optimistically
         advisor_sum = np.zeros(B)
         advisor_cnt = np.zeros(B, dtype=int)
+        ls_trials = np.zeros(B, dtype=int)   # cumulative search trials
 
         for k in range(k_start, max_iter):
             t0 = _time.perf_counter()
@@ -343,13 +546,18 @@ class _BatchedPGDBase:
             timers["backward_total"] += t1 - t0
             alpha_prev = alpha.copy()
             u_prev = u
-            u, phi, c_np, a_np, n_trials, opt_ok, solves, phase = self._search(
+            # speculative packing gathers across the batch axis, which would
+            # insert per-round collectives under a sharded mesh — hard-gate it
+            spec = self.speculative and self.mesh is None
+            search = self._search_speculative if spec else self._search
+            u, phi, c_np, a_np, n_trials, opt_ok, solves, phase = search(
                 u, phi, cost_hist[-1], alpha, r, phi0, phi_Q, phi_T,
                 b1, b2, b3, ks, dtype)
             timers["line_search_total"] += _time.perf_counter() - t1
             timers["optimistic_eval_total"] += phase["optimistic"]
             timers["backtracking_total"] += phase["backtracking"]
             newton_solves += solves
+            ls_trials += np.asarray(n_trials, dtype=int)
             ch_np = np.asarray(self._change_v(u, u_prev))
 
             if k >= s.advisor_start_iter:
@@ -406,7 +614,7 @@ class _BatchedPGDBase:
             "cost_history": np.stack(cost_hist), "alpha": np.asarray(alpha),
             "converged": converged, "iterations": iters_to_converge,
             "newton_solves": newton_solves, "timers": timers,
-            "advisor_alpha": advisor_alpha,
+            "advisor_alpha": advisor_alpha, "ls_trials": ls_trials,
         }
 
 
@@ -415,7 +623,8 @@ class BatchedProblem1D(_BatchedPGDBase):
 
     def __init__(self, fwd_config: Optional[ForwardSolverConfig1D] = None,
                  settings: Optional[PGDSettings] = None,
-                 alpha_max: float = 100.0, mesh=None, use_mesh: bool = False):
+                 alpha_max: float = 100.0, mesh=None, use_mesh: bool = False,
+                 straggler_batch=None, speculative=None):
         self.fwd_config = fwd_config or ForwardSolverConfig1D()
         self.solver = ForwardSolver1D(self.fwd_config)
         self.adj = AdjointSolver1D(self.fwd_config)
@@ -429,7 +638,8 @@ class BatchedProblem1D(_BatchedPGDBase):
         self._t_ref = jnp.asarray(
             np.concatenate([[0.0], self.solver.t_hist]), self.dtype)
         super().__init__(settings or PGDSettings.defaults_1d(), alpha_max,
-                         mesh, use_mesh)
+                         mesh, use_mesh, straggler_batch=straggler_batch,
+                         speculative=speculative)
 
     def _forward(self, u_ref, phi0):
         phi, _ = self._forward_stats(u_ref, phi0, None, None)
@@ -470,7 +680,8 @@ class BatchedProblem2D(_BatchedPGDBase):
 
     def __init__(self, fwd_config: Optional[ForwardSolverConfig2D] = None,
                  settings: Optional[PGDSettings] = None,
-                 alpha_max: float = 50.0, mesh=None, use_mesh: bool = False):
+                 alpha_max: float = 50.0, mesh=None, use_mesh: bool = False,
+                 straggler_batch=None, speculative=None):
         self.fwd_config = fwd_config or ForwardSolverConfig2D()
         self.solver = ForwardSolver2D(self.fwd_config)
         self.adj = AdjointSolver2D(self.fwd_config)
@@ -484,7 +695,8 @@ class BatchedProblem2D(_BatchedPGDBase):
         self._y = jnp.asarray(self.solver.y, self.dtype)
         self._t = jnp.asarray(self.solver.t_hist, self.dtype)
         super().__init__(settings or PGDSettings.defaults_2d(), alpha_max,
-                         mesh, use_mesh)
+                         mesh, use_mesh, straggler_batch=straggler_batch,
+                         speculative=speculative)
 
     def _forward(self, u, phi0):
         return self.solver._simulate_impl(u, phi0)
@@ -516,7 +728,8 @@ class LowMemBatchedProblem2D(_BatchedPGDBase):
 
     def __init__(self, fwd_config: Optional[ForwardSolverConfig2D] = None,
                  K: int = 10, settings: Optional[PGDSettings] = None,
-                 alpha_max: float = 50.0, mesh=None, use_mesh: bool = False):
+                 alpha_max: float = 50.0, mesh=None, use_mesh: bool = False,
+                 straggler_batch=None, speculative=None):
         from vch_tpu.models.lowmem import LowMemPipeline2D
         self.fwd_config = fwd_config or ForwardSolverConfig2D()
         self.pipe = LowMemPipeline2D(self.fwd_config, K=K)
@@ -526,7 +739,8 @@ class LowMemBatchedProblem2D(_BatchedPGDBase):
         self._control_shape = (M + 1, self.fwd_config.Nx + 1,
                                self.fwd_config.Ny + 1)
         super().__init__(settings or PGDSettings.defaults_2d(), alpha_max,
-                         mesh, use_mesh)
+                         mesh, use_mesh, straggler_batch=straggler_batch,
+                         speculative=speculative)
 
     def _set_phi_Q_mode(self, mode: Optional[str]):
         if mode not in ("ramp", "zeros"):
