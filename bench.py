@@ -57,10 +57,12 @@ def main():
     # f32 forward solves auto-resolve to 'high' matmul precision (descent
     # verified on-chip, 16% faster than 'highest'); override here if needed.
     fwd_prec = os.environ.get("VCH_BENCH_FWD_PRECISION", "high") or None
+    kf = os.environ.get("VCH_BENCH_KRYLOV_FIXED")
     cfg = ForwardSolverConfig2D(
         Nx=N, Ny=N, T=1.0, dtype=dtype,
         newton_tol=2e-4 if dtype == "float32" else 1e-6,
-        forward_matmul_precision=fwd_prec)
+        forward_matmul_precision=fwd_prec,
+        **({"krylov_fixed_iters": int(kf)} if kf else {}))
     # Line-search straggler handling (both identical-semantics, tested in
     # test_parallel.py):
     #   default  — speculative ladder packing: idle batch rows evaluate
