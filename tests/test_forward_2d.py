@@ -145,3 +145,27 @@ def test_forward_matmul_precision_knob():
     phi_hist2, _, _ = s2.simulate()
     assert np.allclose(np.asarray(phi_hist), np.asarray(phi_hist2),
                        atol=1e-12)
+
+
+def test_krylov_trips_invariance_f32():
+    """The forward fixed Krylov trip count (f32 path) must not change the
+    computed trajectory: the Newton while_loop's residual tolerance gates
+    quality, so extra trips are pure waste. Locks the on-chip tuning that
+    set the default to 4 (trips 4-10 measured identical Newton totals and
+    final costs at 64x64 B=32; BENCH_RESULTS.json
+    krylov_trips_tuning_64x64_b32). No reference analog (the reference
+    uses a direct sparse LU, Forward2_solver.py:370)."""
+    outs = {}
+    for trips in (4, 12):
+        cfg = ForwardSolverConfig2D(Nx=16, Ny=16, T=0.2, dtype="float32",
+                                    newton_tol=2e-4,
+                                    krylov_fixed_iters=trips)
+        s = ForwardSolver2D(cfg)
+        u = jnp.zeros((s.M + 1, 17, 17), jnp.float32)
+        phi, stats = s._march_impl(
+            u, jnp.asarray(s.default_initial_phi(), jnp.float32))
+        outs[trips] = (np.asarray(phi), int(stats.newton_solves))
+    phi4, n4 = outs[4]
+    phi12, n12 = outs[12]
+    assert n4 == n12, (n4, n12)
+    np.testing.assert_allclose(phi4, phi12, rtol=0, atol=5e-6)
