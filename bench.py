@@ -72,11 +72,15 @@ def main():
     #   VCH_BENCH_STRAGGLER=k — straggler compaction instead: tail rounds run
     #              a k-sized trial program (extra compile at the sub-shape;
     #              measured slower at 64x64 where trials are latency-bound).
-    # VCH_BENCH_SEARCH: "plain" (default — fastest measured at the committed
-    # defaults: 22.7 it/s vs 15.2 speculative, 64x64 B=32 on-chip), "spec"
-    # (speculative ladder packing), or "straggler" (sub-batch compaction,
-    # size VCH_BENCH_STRAGGLER, default B/4). All identical semantics,
-    # parity-gated in tests/test_parallel.py.
+    # VCH_BENCH_SEARCH selects the line-search scheduler; all three are
+    # identical-semantics and parity-gated in tests/test_parallel.py:
+    #   "plain" (default) — masked full-batch rounds; fastest measured at
+    #             the committed defaults (22.7 it/s vs 15.2 speculative,
+    #             64x64 B=32 on-chip).
+    #   "spec"   — speculative ladder packing (idle rows evaluate several
+    #             backtracking candidates per straggler per round).
+    #   "straggler" — sub-batch compaction (size VCH_BENCH_STRAGGLER,
+    #             default B/4; extra compile at the sub-shape).
     sb = int(os.environ.get("VCH_BENCH_STRAGGLER", "0"))
     mode = os.environ.get("VCH_BENCH_SEARCH", "plain")
     if mode == "straggler" and sb == 0:

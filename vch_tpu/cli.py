@@ -209,10 +209,12 @@ def cmd_optimize2d(args):
                             choice_q=args.tracking)
     res = prob.optimize(max_iter=args.max_iter)
     _post_optimize(args, prob, res, prob.x, prob.phi_T_target, one_d=False)
-    # natural-evolution comparison re-run (ref GD2_configured.py:387): show
-    # how far the UNCONTROLLED system ends from the target vs the controlled
-    phi_nat_hist, _, _ = prob.solver.simulate(initial_phi=prob.phi0)
-    phi_nat = np.asarray(phi_nat_hist[-1])
+    # natural-evolution comparison (ref GD2_configured.py:387): show how far
+    # the UNCONTROLLED system ends from the target vs the controlled. The
+    # problem already ran the uncontrolled forward solve at construction
+    # (phi_hist0, used for target building) — reuse it instead of re-running
+    # a full march (minutes of fresh compile at 128x128+).
+    phi_nat = np.asarray(prob.phi_hist0[-1])
     tgt = np.asarray(prob.phi_T_target)
     nrm = np.linalg.norm
     err_nat = nrm(phi_nat - tgt) / max(nrm(tgt), 1e-12)

@@ -196,8 +196,7 @@ def bicgstab_fixed(apply_A: Callable, b: jnp.ndarray, apply_M: Callable,
 
 def bicgstab_split(apply_A: Callable, b: jnp.ndarray, apply_Phalf: Callable,
                    apply_Phalf_inv: Callable, tol: float, max_iter: int,
-                   x0: jnp.ndarray | None = None,
-                   dot_fn: Callable | None = None):
+                   x0: jnp.ndarray | None = None):
     """BiCGStab on the SPLIT-preconditioned system P^-1/2 A P^-1/2.
 
     Right preconditioning leaves Krylov residuals in the RAW system's metric;
@@ -219,7 +218,7 @@ def bicgstab_split(apply_A: Callable, b: jnp.ndarray, apply_Phalf: Callable,
         return apply_Phalf(apply_A(apply_Phalf(v)))
 
     y = bicgstab(apply_At, bt, lambda v: v, tol=tol, max_iter=max_iter,
-                 x0=y0, dot_fn=dot_fn)
+                 x0=y0)
     return apply_Phalf(y)
 
 

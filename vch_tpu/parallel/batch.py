@@ -537,6 +537,7 @@ class _BatchedPGDBase:
         advisor_sum = np.zeros(B)
         advisor_cnt = np.zeros(B, dtype=int)
         ls_trials = np.zeros(B, dtype=int)   # cumulative search trials
+        r = None    # set by the first iteration (or below if none runs)
 
         for k in range(k_start, max_iter):
             t0 = _time.perf_counter()
@@ -553,7 +554,10 @@ class _BatchedPGDBase:
             u, phi, c_np, a_np, n_trials, opt_ok, solves, phase = search(
                 u, phi, cost_hist[-1], alpha, r, phi0, phi_Q, phi_T,
                 b1, b2, b3, ks, dtype)
-            timers["line_search_total"] += _time.perf_counter() - t1
+            # reference phase taxonomy (GD_1D.py:563-576, matching the
+            # single-scenario loop): line_search_total counts BACKTRACKING
+            # rounds only; the optimistic eval is its own phase
+            timers["line_search_total"] += phase["backtracking"]
             timers["optimistic_eval_total"] += phase["optimistic"]
             timers["backtracking_total"] += phase["backtracking"]
             newton_solves += solves
@@ -599,6 +603,10 @@ class _BatchedPGDBase:
             if converged.all():
                 break
 
+        if r is None:
+            # the loop never ran (resume at a checkpoint whose iteration ==
+            # max_iter, or max_iter == 0): still honor the output contract
+            r = self._adjoint_v(u, phi, b1, b2, phi_Q, phi_T)
         jax.block_until_ready(u)     # drain queued merges (no transfer)
         timers["total_optimization"] = _time.perf_counter() - t_run0
         advisor_alpha = np.where(advisor_cnt > 0,
@@ -664,13 +672,16 @@ class BatchedProblem1D(_BatchedPGDBase):
         # convert core-layout phi_Q (M+1 rows, as sweep_1d builds) to the
         # reference layout (duplicated t=0 row) this problem operates in —
         # on a COPY of the caller's batch (mutating the input made a second
-        # run() double-convert; VERDICT round-1 weak #4)
+        # run() double-convert; VERDICT round-1 weak #4). jnp.concatenate
+        # keeps a device-staged phi_Q on device (np.concatenate forced a
+        # full download+re-upload through the axon tunnel inside the timed
+        # run when the caller pre-staged the batch).
         pq = scenarios.phi_Q
         if pq is not None and pq.shape[1] == self.solver.M + 1:
             import dataclasses
             scenarios = dataclasses.replace(
                 scenarios,
-                phi_Q=np.concatenate([pq[:, :1], pq], axis=1))
+                phi_Q=jnp.concatenate([pq[:, :1], pq], axis=1))
         return super().run(scenarios, max_iter, verbose=verbose, dtype=dtype,
                            **kwargs)
 
