@@ -60,6 +60,7 @@ class AdjointSolver2D:
                                   and kernel_vmem_fits(cfg.Nx + 1,
                                                        cfg.Ny + 1)))
         self._pallas_interpret = False
+        self._pallas_variant = getattr(cfg, "pallas_variant", "spectral")
         self._run = jax.jit(self._run_impl)
 
     def _run_impl(self, phi_hist, dts, b1, b2, phi_Q, phi_T_target):
@@ -111,12 +112,23 @@ class AdjointSolver2D:
             # blow-up of the backward sweep); conditioning the system before
             # Krylov keeps iterates O(1)-scaled and restores f32 accuracy.
             if self._use_pallas and self._krylov_fixed is not None:
-                from vch_tpu.ops.pallas_kernels import bicgstab_adjoint_pallas
-                p_n = bicgstab_adjoint_pallas(
-                    op.Lx, op.Ly.T, op.Vx_inv, op.Vy_inv.T, op.Vx, op.Vy.T,
-                    inv_sqrt_denom, fpp_n, rhs, p_next, tau, 0.5 * dt,
-                    n_iter=self._krylov_fixed,
-                    interpret=self._pallas_interpret)
+                from vch_tpu.ops import pallas_kernels as pk
+                if self._pallas_variant == "spectral":
+                    # spectral-basis form: the similarity transform and the
+                    # split preconditioner are both diagonal in the cosine
+                    # basis, so each preconditioned apply is 4 matmuls
+                    # instead of 12 (two Phalf conjugations + operator)
+                    p_n = pk.bicgstab_adjoint_spectral_pallas(
+                        op.Vx_inv, op.Vy_inv.T, op.Vx, op.Vy.T, op.lam,
+                        inv_sqrt_denom, fpp_n, rhs, p_next, tau, 0.5 * dt,
+                        n_iter=self._krylov_fixed,
+                        interpret=self._pallas_interpret)
+                else:
+                    p_n = pk.bicgstab_adjoint_pallas(
+                        op.Lx, op.Ly.T, op.Vx_inv, op.Vy_inv.T, op.Vx,
+                        op.Vy.T, inv_sqrt_denom, fpp_n, rhs, p_next, tau,
+                        0.5 * dt, n_iter=self._krylov_fixed,
+                        interpret=self._pallas_interpret)
             elif self._krylov_fixed is not None:
                 # f32 without VMEM fit (256x256): same split conditioning
                 # and trip policy, composed XLA ops

@@ -67,7 +67,9 @@ def newton_2d(op, phi_old, mu_old, w_old, w_new, dt, tau, c1, c2, kappa,
               mu_init, record_history: bool = False,
               rtol: float = 0.0, stagnation_exit: bool = False,
               krylov_fixed: int | None = None,
-              return_iters: bool = False, use_pallas: bool = False):
+              return_iters: bool = False, use_pallas: bool = False,
+              pallas_interpret: bool = False,
+              pallas_variant: str = "spectral"):
     """2D monolithic Newton with best-trial-fallback Armijo.
 
     rtol / stagnation_exit are the float32 robustness guards described in
@@ -142,7 +144,9 @@ def newton_2d(op, phi_old, mu_old, w_old, w_new, dt, tau, c1, c2, kappa,
             dphi, dmu = newton_schur_solve_2d(
                 op, phi, Rphi, Rmu, dt, tau, c1, kappa, delta_sep,
                 tol=krylov_tol, max_iter=krylov_max_iter,
-                fixed_iters=krylov_fixed, use_pallas=use_pallas)
+                fixed_iters=krylov_fixed, use_pallas=use_pallas,
+                pallas_interpret=pallas_interpret,
+                pallas_variant=pallas_variant)
             return armijo(phi, mu, dphi, dmu, norm_R)
 
         phi_n, mu_n = jax.lax.cond(converged, lambda a: a, take_step, (phi, mu))
@@ -202,6 +206,8 @@ class ForwardSolver2D:
                                   and jax.default_backend() == "tpu"
                                   and kernel_vmem_fits(cfg.Nx + 1,
                                                        cfg.Ny + 1)))
+        self._pallas_interpret = False   # tests: run kernels off-TPU
+        self._pallas_variant = getattr(cfg, "pallas_variant", "spectral")
         self._simulate = jax.jit(self._march_impl)
         self.last_stats = None
 
@@ -252,7 +258,9 @@ class ForwardSolver2D:
                 cfg.krylov_max_iter, mu_init, rtol=self._rtol,
                 stagnation_exit=self._stagnation,
                 krylov_fixed=self._krylov_fixed, return_iters=True,
-                use_pallas=self._use_pallas)
+                use_pallas=self._use_pallas,
+                pallas_interpret=self._pallas_interpret,
+                pallas_variant=self._pallas_variant)
             phi_c = jnp.clip(phi_new, lo, hi)
             # interior-only mass correction (ref :564-577)
             mass_error = jnp.sum(wts_h * phi_c) - m0
@@ -326,6 +334,8 @@ class ForwardSolver2D:
             cfg.c2, cfg.kappa, DELTA_SEP, cfg.newton_tol, cfg.newton_max_iter,
             self.krylov_tol, cfg.krylov_max_iter, mu_init, record_history=True,
             rtol=self._rtol, stagnation_exit=self._stagnation,
-            krylov_fixed=self._krylov_fixed, use_pallas=self._use_pallas)
+            krylov_fixed=self._krylov_fixed, use_pallas=self._use_pallas,
+            pallas_interpret=self._pallas_interpret,
+            pallas_variant=self._pallas_variant)
         hist = np.asarray(hist)
         return phi, mu, list(hist[~np.isnan(hist)])

@@ -138,11 +138,18 @@ class _Adapter2D:
 
         adj = self.adjoint
         if adj._use_pallas and adj._krylov_fixed is not None:
-            from vch_tpu.ops.pallas_kernels import bicgstab_adjoint_pallas
-            p_n = bicgstab_adjoint_pallas(
-                op.Lx, op.Ly.T, op.Vx_inv, op.Vy_inv.T, op.Vx, op.Vy.T,
-                inv_sqrt, fpp_n, rhs, p_next, tau, 0.5 * dt,
-                n_iter=adj._krylov_fixed, interpret=adj._pallas_interpret)
+            from vch_tpu.ops import pallas_kernels as pk
+            if adj._pallas_variant == "spectral":
+                p_n = pk.bicgstab_adjoint_spectral_pallas(
+                    op.Vx_inv, op.Vy_inv.T, op.Vx, op.Vy.T, op.lam,
+                    inv_sqrt, fpp_n, rhs, p_next, tau, 0.5 * dt,
+                    n_iter=adj._krylov_fixed, interpret=adj._pallas_interpret)
+            else:
+                p_n = pk.bicgstab_adjoint_pallas(
+                    op.Lx, op.Ly.T, op.Vx_inv, op.Vy_inv.T, op.Vx, op.Vy.T,
+                    inv_sqrt, fpp_n, rhs, p_next, tau, 0.5 * dt,
+                    n_iter=adj._krylov_fixed,
+                    interpret=adj._pallas_interpret)
         elif adj._krylov_fixed is not None:
             p_n = bicgstab_split_fixed(apply_A, rhs, Phalf, Phalf_inv,
                                        n_iter=adj._krylov_fixed, x0=p_next)

@@ -335,7 +335,8 @@ def newton_schur_solve_2d(op: SpectralOp2D, phi: jnp.ndarray,
                           max_iter: int = 200,
                           fixed_iters: int | None = None,
                           use_pallas: bool = False,
-                          pallas_interpret: bool = False):
+                          pallas_interpret: bool = False,
+                          pallas_variant: str = "spectral"):
     """2D version of the exact Schur solve; fields are (Nx+1, Ny+1).
 
     The Jacobian diagonal uses the reference's safety clip
@@ -362,11 +363,29 @@ def newton_schur_solve_2d(op: SpectralOp2D, phi: jnp.ndarray,
 
     rhs = lap(Rphi) - Rmu
     if use_pallas and fixed_iters is not None:
-        from vch_tpu.ops.pallas_kernels import bicgstab_schur_pallas
-        dphi = bicgstab_schur_pallas(
-            op.Lx, op.Ly.T, op.Vx_inv, op.Vy_inv.T, op.Vx, op.Vy.T, denom, d,
-            rhs, 1.0 / dt, tau / dt, 0.5 * kappa, n_iter=fixed_iters,
-            interpret=pallas_interpret)
+        from vch_tpu.ops import pallas_kernels as pk
+        if pallas_variant == "spectral":
+            # spectral-basis fused solve: free diagonal preconditioner, 8
+            # matmuls/trip instead of 16 — measured 1.19x on-chip at 64x64
+            # B=32 n_iter=4. Krylov path differs from bicgstab_fixed (the
+            # residual lives in the spectral metric); the outer Newton
+            # tolerance gates solution quality either way.
+            dphi = pk.bicgstab_schur_spectral_pallas(
+                op.Vx_inv, op.Vy_inv.T, op.Vx, op.Vy.T, op.lam, denom, d,
+                rhs, 1.0 / dt, tau / dt, 0.5 * kappa, n_iter=fixed_iters,
+                interpret=pallas_interpret)
+        else:
+            # raw-basis fused solve, exact bicgstab_fixed parity. (A
+            # member-TILED variant exists — bicgstab_schur_pallas_batched,
+            # parity-gated in tests — but measured SLOWER than vmap of this
+            # serial kernel on-chip (0.63-0.76x at 64x64 B=32): the
+            # member-local transposes in its left-multiplies and the
+            # skinny block-ones reduction matmuls cost more than the
+            # bigger MXU tiles win back.)
+            dphi = pk.bicgstab_schur_pallas(
+                op.Lx, op.Ly.T, op.Vx_inv, op.Vy_inv.T, op.Vx, op.Vy.T,
+                denom, d, rhs, 1.0 / dt, tau / dt, 0.5 * kappa,
+                n_iter=fixed_iters, interpret=pallas_interpret)
     elif fixed_iters is not None:
         dphi = bicgstab_fixed(apply_S, rhs, apply_M, n_iter=fixed_iters)
     else:
