@@ -32,15 +32,16 @@ except Exception:  # pragma: no cover
     _HAS_PLTPU = False
 
 def kernel_vmem_fits(n: int, m: int, dtype_bytes: int = 4,
-                     vmem_limit: int = 16 * 2**20) -> bool:
+                     vmem_limit: int = 100 * 2**20) -> bool:
     """Whether the fused BiCGStab kernels fit the per-core VMEM budget.
 
-    The whole solve is VMEM-resident: 6 operator matrices plus the Krylov
-    carry and its temporaries. Mosaic's measured stack allocation at
-    n=m=257 f32 was 19.22 MB (~47 field-sized buffers after (8,128)
-    tiling pads) against a 16 MB scoped limit — model it as 48 buffers
-    with a small safety margin so 64x64/128x128 stay on the fused path
-    and 256x256 falls back to the composed-XLA solve.
+    The whole solve is VMEM-resident: the operator matrices plus the
+    Krylov carry and its temporaries — Mosaic's measured stack allocation
+    at n=m=257 f32 is 19.22 MB (~47 field-sized buffers after (8,128)
+    tiling pads); model it as 48 buffers. The kernels raise their scoped
+    vmem limit to 100 MB via _compiler_params (v5e has ~128 MB physical
+    VMEM; Mosaic's 16 MB default used to push 256x256 off the fused
+    path), so grids up to ~512x512 now stay VMEM-resident.
     """
     pad = lambda a, k: -(-a // k) * k
     field = pad(n, 8) * pad(m, 128) * dtype_bytes
@@ -53,6 +54,20 @@ def kernel_vmem_fits(n: int, m: int, dtype_bytes: int = 4,
 # lower. The spectral transforms need f32 accuracy (bf16 passes NaN the
 # condition-1e6 adjoint solve), so pin every kernel dot to HIGHEST.
 _PREC = jax.lax.Precision.HIGHEST
+
+
+def _compiler_params(interpret: bool):
+    """Raise the per-kernel scoped-VMEM limit from Mosaic's 16 MB default.
+
+    A v5e core has ~128 MB of physical VMEM; the fused whole-solve kernels
+    at 256x256 were measured needing 19.22 MB and used to be gated OFF by
+    the 16 MB default. 100 MB keeps generous headroom for the framework's
+    own double-buffering while letting every solve up to ~512x512 stay
+    VMEM-resident."""
+    if _HAS_PLTPU and not interpret:
+        return {"compiler_params":
+                pltpu.CompilerParams(vmem_limit_bytes=100 * 2**20)}
+    return {}
 
 
 def _vmem_spec():
@@ -239,6 +254,7 @@ def bicgstab_schur_pallas(Lx, LyT, Vx_inv, Vy_inv_T, Vx, VyT, denom, d, rhs,
         in_specs=[_smem_spec()] + [_vmem_spec()] * 9,
         out_specs=_vmem_spec(),
         interpret=interpret,
+        **_compiler_params(interpret),
     )(scal, Lx, LyT, Vx_inv, Vy_inv_T, Vx, VyT, denom, d, rhs)
 
 
@@ -578,6 +594,7 @@ def bicgstab_adjoint_pallas(Lx, LyT, Vx_inv, Vy_inv_T, Vx, VyT,
         in_specs=[_smem_spec()] + [_vmem_spec()] * 10,
         out_specs=_vmem_spec(),
         interpret=interpret,
+        **_compiler_params(interpret),
     )(scal, Lx, LyT, Vx_inv, Vy_inv_T, Vx, VyT, inv_sqrt_denom, fpp, rhs, x0)
 
 
@@ -688,6 +705,7 @@ def bicgstab_schur_spectral_pallas(Vx_inv, Vy_inv_T, Vx, VyT, lam, denom, d,
         in_specs=[_smem_spec()] + [_vmem_spec()] * 8,
         out_specs=_vmem_spec(),
         interpret=interpret,
+        **_compiler_params(interpret),
     )(scal, Vx_inv, Vy_inv_T, Vx, VyT, lam, denom, d, rhs)
 
 
@@ -798,4 +816,5 @@ def bicgstab_adjoint_spectral_pallas(Vx_inv, Vy_inv_T, Vx, VyT, lam,
         in_specs=[_smem_spec()] + [_vmem_spec()] * 9,
         out_specs=_vmem_spec(),
         interpret=interpret,
+        **_compiler_params(interpret),
     )(scal, Vx_inv, Vy_inv_T, Vx, VyT, lam, inv_sqrt_denom, fpp, rhs, x0)
