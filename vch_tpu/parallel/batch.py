@@ -126,10 +126,23 @@ class _BatchedPGDBase:
     def __init__(self, settings: PGDSettings, alpha_max: float,
                  mesh=None, use_mesh: bool = False,
                  straggler_batch: Optional[int] = None,
-                 speculative: Optional[bool] = None):
+                 speculative: Optional[bool] = None,
+                 chunk_size: Optional[int] = None):
         self.s = settings
         self.alpha_max = alpha_max
         self.mesh = mesh if mesh is not None else (make_mesh() if use_mesh else None)
+        # Chunked execution: run the vmapped device programs on chunk_size
+        # members at a time (B must divide evenly; otherwise runs whole).
+        # Identical semantics — members are independent — but it bounds the
+        # LOCKSTEP cost of the vmapped Newton/Armijo while_loops: one
+        # vmapped program iterates until its slowest member converges each
+        # CN step, so a single hard member stalls all B; with chunks only
+        # its chunk waits. Measured: single-chip throughput peaks at B=32
+        # (35.2 scenario-iters/s) and collapses at B=64 (14.1) under one
+        # program — chunking keeps large batches at the peak rate. Single
+        # chip only (chunks of a sharded batch would serialize the mesh).
+        self.chunk_size = chunk_size
+        self.chunk_calls = 0          # diagnostic: chunked device calls
         # Straggler compaction: once <= straggler_batch members are still
         # backtracking, gather them into a smaller compiled trial program
         # instead of re-running (and masking out) the whole batch. Identical
@@ -178,8 +191,30 @@ class _BatchedPGDBase:
                     / (jnp.linalg.norm(u.reshape(u.shape[0], -1), axis=1)
                        + 1e-9))
 
-        self._adjoint_v = self._maybe_shard(jax.vmap(_adjoint_only))
-        self._trial_v = self._maybe_shard(jax.vmap(_trial))
+        def _chunked(fn):
+            """Wrap a jitted batch-axis fn to execute chunk_size members per
+            device call (no-op when chunking is off / indivisible /
+            sharded). Pure orchestration: outputs are concatenated, so the
+            result is bit-identical to the single-call form."""
+            def call(*args):
+                c = self.chunk_size
+                B = next(a.shape[0] for a in jax.tree_util.tree_leaves(args)
+                         if hasattr(a, "shape") and a.ndim > 0)
+                if not c or c >= B or B % c or self.mesh is not None:
+                    return fn(*args)
+                outs = []
+                for i in range(0, B, c):
+                    sl = lambda a: (a[i:i + c]
+                                    if hasattr(a, "ndim") and a.ndim > 0
+                                    and a.shape[0] == B else a)
+                    outs.append(fn(*jax.tree_util.tree_map(sl, args)))
+                    self.chunk_calls += 1
+                return jax.tree_util.tree_map(
+                    lambda *xs: jnp.concatenate(xs, axis=0), *outs)
+            return call
+
+        self._adjoint_v = _chunked(self._maybe_shard(jax.vmap(_adjoint_only)))
+        self._trial_v = _chunked(self._maybe_shard(jax.vmap(_trial)))
 
         def _gather(idx, *trees):
             take = lambda a: None if a is None else jnp.take(a, idx, axis=0)
@@ -206,9 +241,9 @@ class _BatchedPGDBase:
         self._merge_v = (jax.jit(_merge, donate_argnums=(1, 2))
                          if jax.default_backend() == "tpu" else jax.jit(_merge))
         self._change_v = jax.jit(_change)
-        self._forward_v = self._maybe_shard(
+        self._forward_v = _chunked(self._maybe_shard(
             jax.vmap(lambda u, p0, pQ, pT: self._forward_stats(u, p0, pQ,
-                                                               pT)))
+                                                               pT))))
         self._cost_v = self._maybe_shard(jax.vmap(self._cost))
 
     def _maybe_shard(self, fn):
@@ -632,7 +667,7 @@ class BatchedProblem1D(_BatchedPGDBase):
     def __init__(self, fwd_config: Optional[ForwardSolverConfig1D] = None,
                  settings: Optional[PGDSettings] = None,
                  alpha_max: float = 100.0, mesh=None, use_mesh: bool = False,
-                 straggler_batch=None, speculative=None):
+                 straggler_batch=None, speculative=None, chunk_size=None):
         self.fwd_config = fwd_config or ForwardSolverConfig1D()
         self.solver = ForwardSolver1D(self.fwd_config)
         self.adj = AdjointSolver1D(self.fwd_config)
@@ -647,7 +682,7 @@ class BatchedProblem1D(_BatchedPGDBase):
             np.concatenate([[0.0], self.solver.t_hist]), self.dtype)
         super().__init__(settings or PGDSettings.defaults_1d(), alpha_max,
                          mesh, use_mesh, straggler_batch=straggler_batch,
-                         speculative=speculative)
+                         speculative=speculative, chunk_size=chunk_size)
 
     def _forward(self, u_ref, phi0):
         phi, _ = self._forward_stats(u_ref, phi0, None, None)
@@ -692,7 +727,7 @@ class BatchedProblem2D(_BatchedPGDBase):
     def __init__(self, fwd_config: Optional[ForwardSolverConfig2D] = None,
                  settings: Optional[PGDSettings] = None,
                  alpha_max: float = 50.0, mesh=None, use_mesh: bool = False,
-                 straggler_batch=None, speculative=None):
+                 straggler_batch=None, speculative=None, chunk_size=None):
         self.fwd_config = fwd_config or ForwardSolverConfig2D()
         self.solver = ForwardSolver2D(self.fwd_config)
         self.adj = AdjointSolver2D(self.fwd_config)
@@ -707,7 +742,7 @@ class BatchedProblem2D(_BatchedPGDBase):
         self._t = jnp.asarray(self.solver.t_hist, self.dtype)
         super().__init__(settings or PGDSettings.defaults_2d(), alpha_max,
                          mesh, use_mesh, straggler_batch=straggler_batch,
-                         speculative=speculative)
+                         speculative=speculative, chunk_size=chunk_size)
 
     def _forward(self, u, phi0):
         return self.solver._simulate_impl(u, phi0)
@@ -740,7 +775,7 @@ class LowMemBatchedProblem2D(_BatchedPGDBase):
     def __init__(self, fwd_config: Optional[ForwardSolverConfig2D] = None,
                  K: int = 10, settings: Optional[PGDSettings] = None,
                  alpha_max: float = 50.0, mesh=None, use_mesh: bool = False,
-                 straggler_batch=None, speculative=None):
+                 straggler_batch=None, speculative=None, chunk_size=None):
         from vch_tpu.models.lowmem import LowMemPipeline2D
         self.fwd_config = fwd_config or ForwardSolverConfig2D()
         self.pipe = LowMemPipeline2D(self.fwd_config, K=K)
@@ -751,7 +786,7 @@ class LowMemBatchedProblem2D(_BatchedPGDBase):
                                self.fwd_config.Ny + 1)
         super().__init__(settings or PGDSettings.defaults_2d(), alpha_max,
                          mesh, use_mesh, straggler_batch=straggler_batch,
-                         speculative=speculative)
+                         speculative=speculative, chunk_size=chunk_size)
 
     def _set_phi_Q_mode(self, mode: Optional[str]):
         if mode not in ("ramp", "zeros"):
