@@ -63,15 +63,6 @@ def main():
         newton_tol=2e-4 if dtype == "float32" else 1e-6,
         forward_matmul_precision=fwd_prec,
         **({"krylov_fixed_iters": int(kf)} if kf else {}))
-    # Line-search straggler handling (both identical-semantics, tested in
-    # test_parallel.py):
-    #   default  — speculative ladder packing: idle batch rows evaluate
-    #              several backtracking candidates per straggler in ONE call
-    #              to the SAME compiled B-shape trial program (no extra
-    #              compile; a 6-trial episode costs ~2 rounds).
-    #   VCH_BENCH_STRAGGLER=k — straggler compaction instead: tail rounds run
-    #              a k-sized trial program (extra compile at the sub-shape;
-    #              measured slower at 64x64 where trials are latency-bound).
     # VCH_BENCH_SEARCH selects the line-search scheduler; all three are
     # identical-semantics and parity-gated in tests/test_parallel.py:
     #   "plain" (default) — masked full-batch rounds; fastest measured at
@@ -85,8 +76,12 @@ def main():
     mode = os.environ.get("VCH_BENCH_SEARCH", "plain")
     if mode == "straggler" and sb == 0:
         sb = max(1, B // 4)
+    # VCH_BENCH_CHUNK=k: chunked execution (k members per device call) —
+    # bounds the vmapped while_loop lockstep cost at large B
+    ck = int(os.environ.get("VCH_BENCH_CHUNK", "0"))
     prob = BatchedProblem2D(cfg, straggler_batch=sb if sb > 0 else None,
-                            speculative=(mode == "spec" and sb == 0))
+                            speculative=(mode == "spec" and sb == 0),
+                            chunk_size=ck if ck > 0 else None)
     b3s = np.linspace(5e-5, 2e-4, max(1, B // 4))
     kss = np.linspace(5e-5, 2e-4, 4)[: max(1, min(4, B))]
     sc = sweep_2d(cfg, b3_values=b3s, kappa_values=kss)
