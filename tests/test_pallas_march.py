@@ -1,0 +1,105 @@
+"""Fused whole-march Pallas kernel (ops/pallas_march.py) parity tests.
+
+Interpret mode on CPU (conftest forces the cpu platform); the same kernel
+compiles on-chip — on-TPU parity and throughput are recorded in
+BENCH_RESULTS.json (fused_march_onchip).
+"""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from vch_tpu.config import DELTA_SEP, ForwardSolverConfig2D
+from vch_tpu.models.forward2d import ForwardSolver2D
+from vch_tpu.ops.pallas_march import march_fused_2d
+from vch_tpu.ops.potential import init_phi_random_2d
+
+
+def _solver(N=16, T=0.06, **kw):
+    cfg = ForwardSolverConfig2D(Nx=N, Ny=N, T=T, dtype="float32",
+                                newton_tol=2e-4, **kw)
+    s = ForwardSolver2D(cfg)
+    # force the same fixed-trip spectral Krylov path the fused kernel uses
+    s._use_pallas = True
+    s._pallas_interpret = True
+    return s
+
+
+def _batch(solver, B=2, amp=0.1, useed=0):
+    N = solver.config.Nx
+    M = solver.M
+    rng = np.random.default_rng(useed)
+    phi0 = np.stack([init_phi_random_2d(N, N, DELTA_SEP, amp=amp,
+                                        seed=42 + i) for i in range(B)])
+    u = 0.1 * rng.standard_normal((B, M + 1, N + 1, N + 1))
+    return (jnp.asarray(phi0, solver.dtype), jnp.asarray(u, solver.dtype))
+
+
+def _fused(solver, u, phi0):
+    return solver.march_fused_batch(u, phi0, interpret=True)
+
+
+def test_fused_march_matches_scan_path():
+    solver = _solver()
+    phi0, u = _batch(solver, B=2)
+    phi_ref, st = jax.vmap(lambda uu, p0: solver._march_impl(uu, p0))(u, phi0)
+    phi_f, ns, bad = _fused(solver, u, phi0)
+    assert phi_f.shape == phi_ref.shape
+    diff = np.abs(np.asarray(phi_f) - np.asarray(phi_ref)).max()
+    # same Krylov path + same tolerances: CPU f32 agreement is roundoff-level
+    assert diff < 1e-5, diff
+    assert int(np.asarray(ns).sum()) == int(np.asarray(st.newton_solves).sum())
+    assert (np.asarray(bad) == -1).all()
+
+
+def test_fused_march_zero_control_mass_conservation():
+    solver = _solver()
+    phi0, u = _batch(solver, B=2)
+    u = jnp.zeros_like(u)
+    phi_f, ns, bad = _fused(solver, u, phi0)
+    wts = np.asarray(solver._wts_h)
+    mass = (wts * np.asarray(phi_f)).sum(axis=(-2, -1))
+    m0 = (wts * np.asarray(phi0)).sum(axis=(-2, -1))
+    assert np.abs(mass - m0[:, None]).max() < 1e-5
+    assert (np.asarray(bad) == -1).all()
+
+
+def test_fused_march_sanitizer_flags_nonfinite():
+    solver = _solver(newton_max_iter=3)
+    phi0, u = _batch(solver, B=2)
+    # a poisoned state makes the mass defect non-finite immediately (a NaN
+    # CONTROL is absorbed by the Armijo best-trial fallback, which keeps the
+    # previous finite phi — same semantics as the scan path / the reference's
+    # in-Newton mass check, Forward_solver.py:166-172)
+    phi0 = phi0.at[1, 3, 3].set(jnp.nan)
+    phi_f, ns, bad = _fused(solver, u, phi0)
+    bad = np.asarray(bad)
+    assert bad[0] == -1
+    assert bad[1] == 0           # flagged at the first step
+
+
+def test_batched_pgd_fused_matches_reference_path():
+    cfg = ForwardSolverConfig2D(Nx=16, Ny=16, T=0.06, dtype="float32",
+                                newton_tol=2e-4)
+    from vch_tpu.parallel.batch import BatchedProblem2D, sweep_2d
+    sc = sweep_2d(cfg, b3_values=[1e-4, 2e-4], kappa_values=[5e-5])
+    out0 = BatchedProblem2D(cfg, fused_march=False).run(
+        sc, max_iter=3, verbose=False)
+    prob = BatchedProblem2D(cfg, fused_march=True)
+    assert prob._use_fused_march
+    out1 = prob.run(sc, max_iter=3, verbose=False)
+    c0, c1 = out0["cost_history"], out1["cost_history"]
+    rel = np.abs(c1 - c0) / np.abs(c0)
+    assert rel.max() < 2e-4, rel.max()
+    assert out1["newton_solves"] == out0["newton_solves"]
+
+
+def test_fused_march_nonuniform_final_dt():
+    # T=0.05 with dt=0.02 -> schedule [0.02, 0.02, 0.01] exercises the
+    # per-step SMEM dt read
+    solver = _solver(N=16, T=0.05, dt_initial=0.02)
+    assert len(np.unique(solver.dts)) == 2
+    phi0, u = _batch(solver, B=2)
+    phi_ref, _ = jax.vmap(lambda uu, p0: solver._march_impl(uu, p0))(u, phi0)
+    phi_f, _, _ = _fused(solver, u, phi0)
+    assert np.abs(np.asarray(phi_f) - np.asarray(phi_ref)).max() < 1e-5

@@ -312,6 +312,36 @@ class ForwardSolver2D:
                 f"diverged (see Forward_solver.py:166-172 semantics).")
         return phi_hist, (self.x, self.y), self.t_hist
 
+    def fused_march_available(self) -> bool:
+        """Whether the whole-march fused Pallas kernel can carry the batched
+        forward solve (f32 fixed-trip path with the solve VMEM-resident)."""
+        from vch_tpu.ops.pallas_kernels import kernel_vmem_fits
+        return (self._krylov_fixed is not None
+                and kernel_vmem_fits(self.config.Nx + 1, self.config.Ny + 1))
+
+    def march_fused_batch(self, u, phi0, interpret: bool = False):
+        """Batched forward march in ONE Pallas kernel (ops/pallas_march.py).
+
+        Args: u (B, M+1, Nx+1, Ny+1), phi0 (B, Nx+1, Ny+1).
+        Returns (phi_hist (B, M+1, ...), newton_solves (B,), first_bad (B,)).
+        Semantics match vmap(_march_impl) member-for-member, but each member
+        runs its own Newton/Armijo trip counts (no vmap lockstep) and the
+        whole time loop stays VMEM-resident.
+        """
+        from vch_tpu.ops.pallas_march import march_fused_2d
+        assert self._krylov_fixed is not None, (
+            "fused march is the fixed-trip (f32/TPU) path")
+        cfg = self.config
+        op = self.op
+        return march_fused_2d(
+            jnp.asarray(self.dts, self.dtype), phi0, u, op.Lx, op.Ly.T,
+            op.Vx_inv, op.Vy_inv.T, op.Vx, op.Vy.T, op.lam,
+            jnp.asarray(self._wts_h, self.dtype), cfg.tau, cfg.c1, cfg.c2,
+            cfg.kappa, cfg.gamma, DELTA_SEP, cfg.Lx * cfg.Ly,
+            cfg.newton_tol, self._rtol, cfg.newton_max_iter,
+            self._krylov_fixed, stagnation_exit=self._stagnation,
+            interpret=interpret)
+
     def energy_history(self, phi_hist, w_hist=None, eps=None):
         """Free energy per stored frame (ref COMPUTE_ENERGY flag semantics,
         Forward2_solver.py:48-50, :552-561 — but vectorized over the whole

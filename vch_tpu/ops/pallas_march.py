@@ -1,0 +1,376 @@
+"""Fully-fused 2D forward march: the whole CN time loop in ONE Pallas kernel.
+
+Re-architecture of the batched forward solve (models/forward2d.py
+`_simulate_body`, itself the TPU rebuild of the reference marcher
+Forward2_solver.py:489-608 and Newton :323-427): instead of a vmapped
+`lax.scan` whose Newton/Armijo `while_loop`s run in LOCKSTEP across the
+scenario batch (every member executes the max member's trip count, and
+converged members still burn full Schur solves because `lax.cond` under
+vmap evaluates both branches), the kernel walks a (member, time-step) grid
+sequentially on-core:
+
+  grid = (B, M), both dims "arbitrary" (sequential);
+  (phi, mu, w) live in VMEM scratch across the member's M steps;
+  each grid cell runs that member's OWN Newton `while_loop` (with the
+  nested Armijo `while_loop` and the fixed-trip spectral-basis BiCGStab
+  Schur solve of ops/pallas_kernels.py) to ITS OWN convergence;
+  the only HBM traffic is reading two control frames and writing one
+  phi frame (~17 KB each at 64x64) per step.
+
+Per-member early exit replaces lockstep masking, per-step kernel launches
+and HBM round-trips between the ~30 XLA ops of a Newton iteration
+disappear, and every matmul runs back-to-back on the MXU from VMEM.
+
+Semantics match `newton_2d` + the marcher's clip / interior mass
+correction / non-finite sanitizer exactly (same tolerances, same
+best-trial Armijo fallback, same fixed Krylov trip count); the Krylov
+residual lives in the spectral metric like the production
+`bicgstab_schur_spectral_pallas` kernel. Parity is gated in
+tests/test_pallas_march.py against the scan-based solver.
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+
+try:  # TPU-only module; absent on CPU-only installs
+    from jax.experimental.pallas import tpu as pltpu
+    _HAS_PLTPU = True
+except Exception:  # pragma: no cover
+    pltpu = None
+    _HAS_PLTPU = False
+
+from vch_tpu.ops.pallas_kernels import _PREC
+
+
+def _march_kernel_factory(M: int, tau: float, c1: float, c2: float,
+                          kappa: float, gamma: float, delta_sep: float,
+                          area: float, newton_tol: float, newton_rtol: float,
+                          newton_max_iter: int, n_trips: int,
+                          stagnation_exit: bool, eps_mach: float):
+    """Build the fused-march kernel with the config constants baked in.
+
+    All physics/tolerance scalars are per-solver compile-time constants
+    (they come from the pydantic config); only dt varies per step and is
+    read from the SMEM schedule.
+    """
+    log_eps = max(1e-8, 0.5 * delta_sep)
+    lo, hi = -1.0 + delta_sep, 1.0 - delta_sep
+    dsep2 = 1.0 - delta_sep * delta_sep
+
+    def kernel(dts_ref, phi0_ref, u_n_ref, u_np1_ref, Lx_ref, LyT_ref,
+               Vxi_ref, VyiT_ref, Vx_ref, VyT_ref, lam_ref, wts_ref,
+               hist_ref, ns_ref, bad_ref,
+               phi_s, mu_s, w_s, m0_s):
+        b = pl.program_id(0)
+        m = pl.program_id(1)
+        Lx = Lx_ref[:]
+        LyT = LyT_ref[:]
+        Vxi = Vxi_ref[:]
+        VyiT = VyiT_ref[:]
+        Vx = Vx_ref[:]
+        VyT = VyT_ref[:]
+        lam = lam_ref[:]
+        wts = wts_ref[:]
+        dt_ = lam.dtype
+
+        def mm(a, c):
+            return jnp.dot(a, c, preferred_element_type=dt_, precision=_PREC)
+
+        def to_s(v):
+            return mm(mm(Vxi, v), VyiT)
+
+        def from_s(vh):
+            return mm(mm(Vx, vh), VyT)
+
+        def lap(v):
+            # dense-stencil apply (2 matmuls), identical to the scan path's
+            # apply_laplacian_2d — NOT the spectral round trip (4 matmuls +
+            # extra f32 roundoff through the eigenbasis)
+            return mm(Lx, v) + mm(v, LyT)
+
+        def f_log(phi):
+            ph = jnp.clip(phi, -1.0 + log_eps, 1.0 - log_eps)
+            return jnp.log((1.0 + ph) / (1.0 - ph))
+
+        @pl.when(m == 0)
+        def _():
+            phi0 = phi0_ref[0]
+            phi_s[0] = phi0
+            w_s[0] = jnp.zeros_like(phi0)
+            # mu0 = -kappa lap(phi0) + f'(phi0) - w0
+            mu_s[0] = (-kappa * lap(phi0)
+                       + c1 * f_log(phi0) - 2.0 * c2 * phi0)
+            m0_s[0] = jnp.sum(wts * phi0)
+            ns_ref[b, 0] = jnp.int32(0)
+            bad_ref[b, 0] = jnp.int32(-1)
+
+        phi_old = phi_s[0]
+        mu_old = mu_s[0]
+        w_old = w_s[0]
+        m0 = m0_s[0]
+        dt = dts_ref[m]
+        inv_dt = 1.0 / dt
+        tau_dt = tau * inv_dt
+
+        gamma_dt = gamma * inv_dt
+        w_new = (((gamma_dt - 0.5) * w_old
+                  + 0.5 * (u_np1_ref[0, 0] + u_n_ref[0, 0]))
+                 / (gamma_dt + 0.5))
+        lap_mu_old = lap(mu_old)
+        lap_phi_old = lap(phi_old)
+        mu_init = (-kappa * lap_phi_old
+                   + c1 * f_log(phi_old) - 2.0 * c2 * phi_old - w_new)
+        f_ccv = -2.0 * c2 * phi_old
+        w_avg = 0.5 * (w_new + w_old)
+
+        def resid(phi, mu):
+            """CN residuals vs the step's frozen (phi_old, mu_old) level."""
+            lap_mu = lap(mu)
+            lap_phi = lap(phi)
+            Rmu = (phi - phi_old) * inv_dt - 0.5 * (lap_mu + lap_mu_old)
+            Rphi = (tau * inv_dt * (phi - phi_old)
+                    - 0.5 * kappa * (lap_phi + lap_phi_old)
+                    + c1 * f_log(phi) + f_ccv
+                    - 0.5 * (mu + mu_old) - w_avg)
+            norm = jnp.sqrt(jnp.sum(Rphi * Rphi) + jnp.sum(Rmu * Rmu))
+            return norm, Rphi, Rmu
+
+        def schur_solve(phi, Rphi, Rmu):
+            """Fixed-trip spectral-basis BiCGStab on the Schur system
+            (same Krylov path as bicgstab_schur_spectral_pallas)."""
+            phi_sq = jnp.clip(phi * phi, 0.0, dsep2)
+            d = 2.0 * c1 / (1.0 - phi_sq)
+            dbar = jnp.mean(d)
+            poly = inv_dt - tau_dt * lam + 0.5 * kappa * lam * lam
+            denom = poly - dbar * lam
+
+            def apply_S(yh):
+                return poly * yh - lam * to_s(d * from_s(yh))
+
+            bvec = to_s(lap(Rphi) - Rmu)
+            dot = lambda a, c: jnp.sum(a * c)
+            eps_div = jnp.asarray(1e-30, dt_)
+            one = jnp.asarray(1.0, dt_)
+            r0 = bvec
+            floor2 = ((50.0 * eps_mach) ** 2
+                      * jnp.maximum(dot(bvec, bvec), eps_div))
+
+            def body(_, carry):
+                x, r, p, v, rho, alpha, omega, best_x, best_r2 = carry
+                active = dot(r, r) > floor2
+                rho_new = dot(r0, r)
+                beta = (rho_new / (rho + eps_div)) * (alpha / (omega + eps_div))
+                p_n = r + beta * (p - omega * v)
+                phat = p_n / denom
+                v_n = apply_S(phat)
+                alpha_n = rho_new / (dot(r0, v_n) + eps_div)
+                s = r - alpha_n * v_n
+                shat = s / denom
+                t = apply_S(shat)
+                omega_n = dot(t, s) / (dot(t, t) + eps_div)
+                x_n = x + alpha_n * phat + omega_n * shat
+                r_n = s - omega_n * t
+                r2_n = dot(r_n, r_n)
+                ok = active & jnp.isfinite(r2_n)
+                sel = lambda a, bb: jnp.where(ok, a, bb)
+                better = ok & (r2_n < best_r2)
+                best_x = jnp.where(better, x_n, best_x)
+                best_r2 = jnp.where(better, r2_n, best_r2)
+                return (sel(x_n, x), sel(r_n, r), sel(p_n, p), sel(v_n, v),
+                        jnp.where(ok, rho_new, rho),
+                        jnp.where(ok, alpha_n, alpha),
+                        jnp.where(ok, omega_n, omega), best_x, best_r2)
+
+            z = jnp.zeros_like(bvec)
+            init = (z, r0, z, z, one, one, one, z, dot(r0, r0))
+            out = jax.lax.fori_loop(0, n_trips, body, init)
+            dphi = from_s(out[7])
+            Kpp_dphi = -(0.5 * kappa) * lap(dphi) + (tau_dt + d) * dphi
+            dmu = 2.0 * (Kpp_dphi + Rphi)
+            return dphi, dmu
+
+        def step_ceiling(phi, dphi):
+            big = jnp.asarray(jnp.inf, dt_)
+            ratio_pos = jnp.where(dphi > 0, (hi - phi) / dphi, big)
+            ratio_neg = jnp.where(dphi < 0, (lo - phi) / dphi, big)
+            amax = jnp.minimum(jnp.asarray(2.0, dt_),
+                               jnp.minimum(0.9 * jnp.min(ratio_pos),
+                                           0.9 * jnp.min(ratio_neg)))
+            bad_a = ~jnp.isfinite(amax) | (amax <= 0)
+            amax = jnp.where(bad_a, 1.0, amax)
+            return jnp.minimum(1.0, amax)
+
+        def armijo(phi, mu, dphi, dmu, norm_R):
+            eta = 1e-4
+            alpha0 = step_ceiling(phi, dphi)
+
+            def cond_a(c):
+                return (~c[6]) & (c[7] < 12)
+
+            def body_a(c):
+                alpha, phi_a, mu_a, best_norm, best_phi, best_mu, _, j = c
+                phi_t = phi + alpha * dphi
+                mu_t = mu + alpha * dmu
+                norm_t, _, _ = resid(phi_t, mu_t)
+                better = norm_t < best_norm
+                best_norm = jnp.where(better, norm_t, best_norm)
+                best_phi = jnp.where(better, phi_t, best_phi)
+                best_mu = jnp.where(better, mu_t, best_mu)
+                accept = norm_t <= (1.0 - eta * alpha) * norm_R
+                phi_a = jnp.where(accept, phi_t, phi_a)
+                mu_a = jnp.where(accept, mu_t, mu_a)
+                alpha = jnp.where(accept, alpha, alpha * 0.5)
+                return (alpha, phi_a, mu_a, best_norm, best_phi, best_mu,
+                        accept, j + 1)
+
+            big = jnp.asarray(jnp.inf, dt_)
+            init = (alpha0, phi, mu, big, phi, mu, jnp.bool_(False),
+                    jnp.int32(0))
+            (_, phi_a, mu_a, best_norm, best_phi, best_mu, accepted,
+             _) = jax.lax.while_loop(cond_a, body_a, init)
+            use_best = (~accepted) & (best_norm < norm_R)
+            phi_out = jnp.where(accepted, phi_a,
+                                jnp.where(use_best, best_phi, phi))
+            mu_out = jnp.where(accepted, mu_a,
+                               jnp.where(use_best, best_mu, mu))
+            return phi_out, mu_out
+
+        # ---- Newton while_loop (this member's own trip count) ----
+        def cond_n(c):
+            return (~c[3]) & (c[2] < newton_max_iter)
+
+        def body_n(c):
+            phi, mu, k, done, norm0, prev_norm, nsolve = c
+            norm_R, Rphi, Rmu = resid(phi, mu)
+            norm0 = jnp.where(k == 0, norm_R, norm0)
+            conv = norm_R < newton_tol
+            if newton_rtol > 0:
+                conv = conv | (norm_R < newton_rtol * norm0)
+            if stagnation_exit:
+                conv = conv | ((k > 0) & (norm_R >= prev_norm))
+
+            def take_step(args):
+                phi, mu = args
+                dphi, dmu = schur_solve(phi, Rphi, Rmu)
+                return armijo(phi, mu, dphi, dmu, norm_R)
+
+            phi_n, mu_n = jax.lax.cond(conv, lambda a: a, take_step,
+                                       (phi, mu))
+            nsolve = nsolve + jnp.where(conv, 0, 1).astype(jnp.int32)
+            return (phi_n, mu_n, k + 1, conv, norm0, norm_R, nsolve)
+
+        big = jnp.asarray(jnp.inf, dt_)
+        init_n = (phi_old, mu_init, jnp.int32(0), jnp.bool_(False), big, big,
+                  jnp.int32(0))
+        phi_new, mu_new, _, _, _, _, k_n = jax.lax.while_loop(
+            cond_n, body_n, init_n)
+
+        # ---- clip + interior mass correction + sanitizer (ref :564-577) ----
+        phi_c = jnp.clip(phi_new, lo, hi)
+        mass_error = jnp.sum(wts * phi_c) - m0
+        is_bad = ~jnp.isfinite(mass_error)
+        interior = jnp.abs(phi_c) < (1.0 - delta_sep - 5e-3)
+        Wint = jnp.sum(jnp.where(interior, wts, 0.0))
+        corrected = jnp.where(interior, phi_c - mass_error / Wint, phi_c)
+        fallback = jnp.clip(phi_c - mass_error / area, lo, hi)
+        needs_fix = jnp.abs(mass_error) > 1e-16
+        phi_c = jnp.where(needs_fix,
+                          jnp.where(Wint > 0, corrected, fallback), phi_c)
+
+        phi_s[0] = phi_c
+        mu_s[0] = mu_new
+        w_s[0] = w_new
+        hist_ref[0, 0] = phi_c
+        ns_ref[b, 0] = ns_ref[b, 0] + k_n
+
+        @pl.when(is_bad & (bad_ref[b, 0] < 0))
+        def _():
+            bad_ref[b, 0] = m
+
+    return kernel
+
+
+def march_fused_2d(dts, phi0, u, Lx, LyT, Vx_inv, Vy_inv_T, Vx, VyT, lam, wts,
+                   tau: float, c1: float, c2: float, kappa: float,
+                   gamma: float, delta_sep: float, area: float,
+                   newton_tol: float, newton_rtol: float,
+                   newton_max_iter: int, n_trips: int,
+                   stagnation_exit: bool = True, interpret: bool = False):
+    """Run the full batched 2D forward march in one Pallas kernel.
+
+    Args:
+      dts:   (M,) time-step schedule.
+      phi0:  (B, n, m) initial fields.
+      u:     (B, M+1, n, m) control frames.
+      Lx, LyT: dense Neumann Laplacian stencil matrices (LyT transposed).
+      Vx_inv, Vy_inv_T, Vx, VyT: cosine eigenbasis transforms.
+      lam:   (n, m) eigenvalue grid of the 2D Neumann Laplacian.
+      wts:   (n, m) trapz quadrature weights * hx * hy.
+      area:  Lx * Ly (uniform mass-fix fallback denominator).
+    Returns:
+      phi_hist (B, M+1, n, m)  — phi0 prepended, matching _simulate_body,
+      nsolve   (B,) int32      — measured Newton linear solves per member,
+      first_bad (B,) int32     — first non-finite-mass step per member, -1
+                                  if none (runtime sanitizer channel).
+    """
+    B, n, m = phi0.shape
+    M = u.shape[1] - 1
+    assert dts.shape == (M,), (dts.shape, M)
+    dtype = phi0.dtype
+    eps_mach = 2.2e-16 if dtype == jnp.float64 else 1.2e-7
+
+    kernel = _march_kernel_factory(
+        M, float(tau), float(c1), float(c2), float(kappa), float(gamma),
+        float(delta_sep), float(area), float(newton_tol), float(newton_rtol),
+        int(newton_max_iter), int(n_trips), bool(stagnation_exit), eps_mach)
+
+    if _HAS_PLTPU:
+        vmem = pl.BlockSpec(memory_space=pltpu.VMEM)
+        smem = pl.BlockSpec(memory_space=pltpu.SMEM)
+        vspec = lambda shape, idx: pl.BlockSpec(shape, idx,
+                                                memory_space=pltpu.VMEM)
+        scratch = [pltpu.VMEM((1, n, m), dtype)] * 3 + [
+            pltpu.SMEM((1,), dtype)]
+        params = {} if interpret else {
+            "compiler_params": pltpu.CompilerParams(
+                dimension_semantics=("arbitrary", "arbitrary"),
+                vmem_limit_bytes=100 * 2**20)}
+    else:  # pragma: no cover - CPU interpret-only fallback
+        vmem = pl.BlockSpec()
+        smem = pl.BlockSpec()
+        vspec = lambda shape, idx: pl.BlockSpec(shape, idx)
+        scratch = []
+        params = {}
+
+    hist, ns, bad = pl.pallas_call(
+        kernel,
+        grid=(B, M),
+        in_specs=[
+            smem,                                           # dts (M,)
+            vspec((1, n, m), lambda b, t: (b, 0, 0)),       # phi0
+            vspec((1, 1, n, m), lambda b, t: (b, t, 0, 0)),     # u_n
+            vspec((1, 1, n, m), lambda b, t: (b, t + 1, 0, 0)),  # u_np1
+            vmem, vmem,                                      # Lx, LyT
+            vmem, vmem, vmem, vmem,                          # transforms
+            vmem,                                            # lam
+            vmem,                                            # wts
+        ],
+        out_specs=(
+            vspec((1, 1, n, m), lambda b, t: (b, t, 0, 0)),  # phi frames
+            smem,                                            # nsolve (B,1)
+            smem,                                            # first_bad (B,1)
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((B, M, n, m), dtype),
+            jax.ShapeDtypeStruct((B, 1), jnp.int32),
+            jax.ShapeDtypeStruct((B, 1), jnp.int32),
+        ),
+        scratch_shapes=scratch,
+        interpret=interpret,
+        **params,
+    )(dts, phi0, u, u, Lx, LyT, Vx_inv, Vy_inv_T, Vx, VyT, lam, wts)
+
+    phi_hist = jnp.concatenate([phi0[:, None], hist], axis=1)
+    return phi_hist, ns[:, 0], bad[:, 0]

@@ -214,7 +214,29 @@ class _BatchedPGDBase:
             return call
 
         self._adjoint_v = _chunked(self._maybe_shard(jax.vmap(_adjoint_only)))
-        self._trial_v = _chunked(self._maybe_shard(jax.vmap(_trial)))
+
+        # Whole-batch fused forward (the 2D fused-march Pallas kernel,
+        # ops/pallas_march.py): set by a subclass as self._fused_forward
+        # (u, phi0) -> (phi_hist, newton_solves (B,)). It replaces
+        # vmap(forward) inside the trial — prox and cost stay vmapped
+        # elementwise/reduction programs around the single kernel call.
+        fused = getattr(self, "_fused_forward", None)
+
+        def _trial_fused(u, r, alpha, phi0, phi_Q, phi_T, b1, b2, b3, ks):
+            def prox_one(u_i, r_i, a_i, b3_i, ks_i):
+                grad = r_i + b3_i * u_i
+                return proximal_step(u_i, grad, a_i, ks_i,
+                                     self.u_min, self.u_max)
+            u_t = jax.vmap(prox_one)(u, r, alpha, b3, ks)
+            phi_t, nsolve = fused(u_t, phi0)
+            c_t = jax.vmap(self._cost)(phi_t, u_t, phi_Q, phi_T, b1, b2,
+                                       b3, ks)
+            return u_t, phi_t, c_t, nsolve
+
+        if fused is not None:
+            self._trial_v = _chunked(self._maybe_shard(_trial_fused))
+        else:
+            self._trial_v = _chunked(self._maybe_shard(jax.vmap(_trial)))
 
         def _gather(idx, *trees):
             take = lambda a: None if a is None else jnp.take(a, idx, axis=0)
@@ -230,6 +252,12 @@ class _BatchedPGDBase:
                 return full.at[idx].set(jnp.where(m, sub, full[idx]))
             return jax.tree_util.tree_map(upd, res, out_sub)
 
+        if fused is not None:
+            self._forward_v = _chunked(self._maybe_shard(
+                lambda u, p0, pQ, pT: fused(u, p0)))
+        else:
+            self._forward_v = None  # assigned below (vmap form)
+
         self._gather_v = jax.jit(_gather)
         self._scatter_v = jax.jit(_scatter, donate_argnums=(0,)) \
             if jax.default_backend() == "tpu" else jax.jit(_scatter)
@@ -241,9 +269,10 @@ class _BatchedPGDBase:
         self._merge_v = (jax.jit(_merge, donate_argnums=(1, 2))
                          if jax.default_backend() == "tpu" else jax.jit(_merge))
         self._change_v = jax.jit(_change)
-        self._forward_v = _chunked(self._maybe_shard(
-            jax.vmap(lambda u, p0, pQ, pT: self._forward_stats(u, p0, pQ,
-                                                               pT))))
+        if self._forward_v is None:
+            self._forward_v = _chunked(self._maybe_shard(
+                jax.vmap(lambda u, p0, pQ, pT: self._forward_stats(u, p0, pQ,
+                                                                   pT))))
         self._cost_v = self._maybe_shard(jax.vmap(self._cost))
 
     def _maybe_shard(self, fn):
@@ -727,7 +756,8 @@ class BatchedProblem2D(_BatchedPGDBase):
     def __init__(self, fwd_config: Optional[ForwardSolverConfig2D] = None,
                  settings: Optional[PGDSettings] = None,
                  alpha_max: float = 50.0, mesh=None, use_mesh: bool = False,
-                 straggler_batch=None, speculative=None, chunk_size=None):
+                 straggler_batch=None, speculative=None, chunk_size=None,
+                 fused_march: Optional[bool] = None):
         self.fwd_config = fwd_config or ForwardSolverConfig2D()
         self.solver = ForwardSolver2D(self.fwd_config)
         self.adj = AdjointSolver2D(self.fwd_config)
@@ -740,6 +770,27 @@ class BatchedProblem2D(_BatchedPGDBase):
         self._x = jnp.asarray(self.solver.x, self.dtype)
         self._y = jnp.asarray(self.solver.y, self.dtype)
         self._t = jnp.asarray(self.solver.t_hist, self.dtype)
+        # Whole-march fused Pallas kernel (ops/pallas_march.py): default ON
+        # for the single-chip f32/TPU path when the solve fits VMEM. Each
+        # member runs its own Newton/Armijo trip counts (no vmap lockstep;
+        # throughput no longer collapses past the old B=32 peak) and the
+        # program compiles in seconds instead of the scan path's minutes
+        # through the axon compile service. Mesh runs keep the vmapped
+        # scan (XLA partitions it over the batch axis).
+        self._use_fused_march = (
+            fused_march if fused_march is not None
+            else (mesh is None and not use_mesh
+                  and jax.default_backend() == "tpu"
+                  and self.solver.fused_march_available()))
+        if self._use_fused_march:
+            interp = jax.default_backend() != "tpu"
+
+            def _fused(u, phi0):
+                phi_hist, ns, _bad = self.solver.march_fused_batch(
+                    u, phi0, interpret=interp)
+                return phi_hist, ns
+
+            self._fused_forward = _fused
         super().__init__(settings or PGDSettings.defaults_2d(), alpha_max,
                          mesh, use_mesh, straggler_batch=straggler_batch,
                          speculative=speculative, chunk_size=chunk_size)
