@@ -72,14 +72,17 @@ def main():
     #             backtracking candidates per straggler per round).
     #   "straggler" — sub-batch compaction (size VCH_BENCH_STRAGGLER,
     #             default B/4; extra compile at the sub-shape).
-    sb = int(os.environ.get("VCH_BENCH_STRAGGLER", "0"))
+    sb_env = os.environ.get("VCH_BENCH_STRAGGLER", "")
+    sb = sb_env if sb_env == "auto" else int(sb_env or "0")
     mode = os.environ.get("VCH_BENCH_SEARCH", "plain")
     if mode == "straggler" and sb == 0:
         sb = max(1, B // 4)
     # VCH_BENCH_CHUNK=k: chunked execution (k members per device call) —
     # bounds the vmapped while_loop lockstep cost at large B
     ck = int(os.environ.get("VCH_BENCH_CHUNK", "0"))
-    prob = BatchedProblem2D(cfg, straggler_batch=sb if sb > 0 else None,
+    prob = BatchedProblem2D(cfg,
+                            straggler_batch=(sb if sb == "auto"
+                                             else (sb if sb > 0 else None)),
                             speculative=(mode == "spec" and sb == 0),
                             chunk_size=ck if ck > 0 else None)
     b3s = np.linspace(5e-5, 2e-4, max(1, B // 4))
@@ -106,8 +109,10 @@ def main():
         b1=stage(sc.b1), b2=stage(sc.b2), b3=stage(sc.b3),
         kappa_spar=stage(sc.kappa_spar))
 
-    # warmup (compile + 1 iteration)
+    # warmup (compile + 1 iteration; prewarm compiles the straggler-bucket
+    # trial shapes the masked search can gather into)
     prob.run(sc, max_iter=1, verbose=False)
+    prob.prewarm(sc)
     t0 = time.perf_counter()
     out = prob.run(sc, max_iter=iters, verbose=False,
                    host_results=False)

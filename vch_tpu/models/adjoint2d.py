@@ -160,6 +160,32 @@ class AdjointSolver2D:
         r = jnp.concatenate([r_rev, r_T[None]], axis=0)
         return p, q, r
 
+    def fused_march_available(self) -> bool:
+        """Whether the whole-sweep fused Pallas kernel can carry the batched
+        adjoint (f32 fixed-trip path with the solve VMEM-resident)."""
+        from vch_tpu.ops.pallas_kernels import kernel_vmem_fits
+        cfg = self.config
+        return (self._krylov_fixed is not None
+                and kernel_vmem_fits(cfg.Nx + 1, cfg.Ny + 1))
+
+    def adjoint_fused_batch(self, phi_hist, dts, b1, b2, phi_Q, phi_T,
+                            interpret: bool = False):
+        """Batched backward sweep in ONE Pallas kernel (ops/pallas_march.py).
+
+        Args: phi_hist/phi_Q (B, M+1, ...), phi_T (B, ...), b1/b2 (B,).
+        Returns r (B, M+1, ...) — the gradient channel only (what the
+        batched PGD consumes); semantics match vmap(_run_impl)[2].
+        """
+        from vch_tpu.ops.pallas_march import adjoint_fused_2d
+        assert self._krylov_fixed is not None
+        cfg = self.config
+        op = self.op
+        return adjoint_fused_2d(
+            dts, phi_hist, phi_Q, phi_T, b1, b2, op.Lx, op.Ly.T,
+            op.Vx_inv, op.Vy_inv.T, op.Vx, op.Vy.T, op.lam,
+            cfg.tau, cfg.gamma, cfg.c1, cfg.c2, self._krylov_fixed,
+            interpret=interpret)
+
     def run(self, phi_hist, t_hist, b1: float, b2: float,
             phi_Q: Optional[np.ndarray] = None,
             phi_T_target: Optional[np.ndarray] = None):

@@ -374,3 +374,214 @@ def march_fused_2d(dts, phi0, u, Lx, LyT, Vx_inv, Vy_inv_T, Vx, VyT, lam, wts,
 
     phi_hist = jnp.concatenate([phi0[:, None], hist], axis=1)
     return phi_hist, ns[:, 0], bad[:, 0]
+
+
+def _adjoint_kernel_factory(M: int, tau: float, gamma: float, c1: float,
+                            c2: float, n_trips: int, eps_mach: float):
+    """Fused backward (p, q, r) sweep: models/adjoint2d.py `_run_impl`
+    walked in one kernel, reverse time index n = M-1-t.
+
+    Per step: rhs = B(phi_{n+1}) p_{n+1} + (dt/2) b1 (src_n + src_{n+1}),
+    then the split-preconditioned spectral-basis BiCGStab solve of
+    A(phi_n) p_n = rhs warm-started from p_{n+1} (identical recurrence to
+    pallas_kernels.bicgstab_adjoint_spectral_pallas), then q = -L p and the
+    r backward-CN recursion. Only r is written out (the batched PGD
+    gradient needs nothing else); r_T = 0 is appended by the caller.
+    """
+    fpp_eps = 1e-8
+
+    def kernel(dts_ref, b1_ref, b2_ref, phi_n_ref, phi_np1_ref, phiQ_n_ref,
+               phiQ_np1_ref, phiT_ref, Lx_ref, LyT_ref, Vxi_ref, VyiT_ref,
+               Vx_ref, VyT_ref, lam_ref,
+               r_out_ref,
+               p_s, q_s, r_s):
+        b = pl.program_id(0)
+        t = pl.program_id(1)
+        n = M - 1 - t                      # reverse time index
+        Lx = Lx_ref[:]
+        LyT = LyT_ref[:]
+        Vxi = Vxi_ref[:]
+        VyiT = VyiT_ref[:]
+        Vx = Vx_ref[:]
+        VyT = VyT_ref[:]
+        lam = lam_ref[:]
+        dt_ = lam.dtype
+        b1 = b1_ref[b]
+        b2 = b2_ref[b]
+
+        def mm(a, c):
+            return jnp.dot(a, c, preferred_element_type=dt_, precision=_PREC)
+
+        def to_s(v):
+            return mm(mm(Vxi, v), VyiT)
+
+        def from_s(vh):
+            return mm(mm(Vx, vh), VyT)
+
+        def lap(v):
+            return mm(Lx, v) + mm(v, LyT)
+
+        def fpp(phi):
+            ph = jnp.clip(phi, -1.0 + fpp_eps, 1.0 - fpp_eps)
+            return 2.0 * c1 / (1.0 - ph * ph) - 2.0 * c2
+
+        phi_np1 = phi_np1_ref[0, 0]
+
+        @pl.when(t == 0)
+        def _():
+            # terminal: (I - tau L) p_T = b2 (phi(T) - phi_Omega), exact in
+            # the cosine basis; q_T = -L p_T; r_T = 0
+            rhs_T = b2 * (phi_np1 - phiT_ref[0])
+            p_T = from_s(to_s(rhs_T) / (1.0 - tau * lam))
+            p_s[0] = p_T
+            q_s[0] = -lap(p_T)
+            r_s[0] = jnp.zeros_like(p_T)
+
+        p_next = p_s[0]
+        q_next = q_s[0]
+        r_next = r_s[0]
+        dt = dts_ref[n]
+        half_dt = 0.5 * dt
+
+        phi_n = phi_n_ref[0, 0]
+        src_sum = ((phi_n - phiQ_n_ref[0, 0])
+                   + (phi_np1 - phiQ_np1_ref[0, 0]))
+        fpp_n = fpp(phi_n)
+        fpp_np1 = fpp(phi_np1)
+        fbar = jnp.mean(fpp_n)
+
+        # rhs = B(phi_{n+1}) p_{n+1} + (dt/2) b1 (src_n + src_{n+1})
+        w1 = lap(p_next)
+        Bp = p_next - tau * w1 - half_dt * lap(w1) + half_dt * fpp_np1 * w1
+        rhs = Bp + half_dt * b1 * src_sum
+
+        # split-preconditioned spectral BiCGStab, warm start p_{n+1}
+        poly = 1.0 - tau * lam + half_dt * lam * lam
+        denom = poly - half_dt * fbar * lam
+        isd = jax.lax.rsqrt(jnp.abs(denom))
+
+        def apply_At(yh):
+            z = isd * yh
+            w = to_s(fpp_n * from_s(lam * z))
+            return isd * (poly * z - half_dt * w)
+
+        bt = isd * to_s(rhs)
+        y0 = to_s(p_next) / isd
+        dot = lambda a, c: jnp.sum(a * c)
+        eps_div = jnp.asarray(1e-30, dt_)
+        one = jnp.asarray(1.0, dt_)
+        r0 = bt - apply_At(y0)
+        floor2 = (50.0 * eps_mach) ** 2 * jnp.maximum(dot(bt, bt), eps_div)
+
+        def body(_, carry):
+            x, rr, p, v, rho, alpha, omega, best_x, best_r2 = carry
+            active = dot(rr, rr) > floor2
+            rho_new = dot(r0, rr)
+            beta = (rho_new / (rho + eps_div)) * (alpha / (omega + eps_div))
+            p_n_ = rr + beta * (p - omega * v)
+            v_n = apply_At(p_n_)
+            alpha_n = rho_new / (dot(r0, v_n) + eps_div)
+            s = rr - alpha_n * v_n
+            tt = apply_At(s)
+            omega_n = dot(tt, s) / (dot(tt, tt) + eps_div)
+            x_n = x + alpha_n * p_n_ + omega_n * s
+            r_n_ = s - omega_n * tt
+            r2_n = dot(r_n_, r_n_)
+            ok = active & jnp.isfinite(r2_n)
+            sel = lambda a, bb: jnp.where(ok, a, bb)
+            better = ok & (r2_n < best_r2)
+            best_x = jnp.where(better, x_n, best_x)
+            best_r2 = jnp.where(better, r2_n, best_r2)
+            return (sel(x_n, x), sel(r_n_, rr), sel(p_n_, p), sel(v_n, v),
+                    jnp.where(ok, rho_new, rho),
+                    jnp.where(ok, alpha_n, alpha),
+                    jnp.where(ok, omega_n, omega), best_x, best_r2)
+
+        z = jnp.zeros_like(bt)
+        init = (y0, r0, z, z, one, one, one, y0, dot(r0, r0))
+        out = jax.lax.fori_loop(0, n_trips, body, init)
+        p_n = from_s(isd * out[7])
+
+        q_n = -lap(p_n)
+        den = gamma + half_dt
+        r_n = ((gamma - half_dt) / den * r_next
+               + half_dt / den * (q_n + q_next))
+
+        # dt <= 1e-14 steps copy the next level (backward2_solver.py:212-216)
+        skip = dt <= 1e-14
+        p_n = jnp.where(skip, p_next, p_n)
+        q_n = jnp.where(skip, q_next, q_n)
+        r_n = jnp.where(skip, r_next, r_n)
+
+        p_s[0] = p_n
+        q_s[0] = q_n
+        r_s[0] = r_n
+        r_out_ref[0, 0] = r_n
+
+    return kernel
+
+
+def adjoint_fused_2d(dts, phi_hist, phi_Q, phi_T, b1, b2,
+                     Lx, LyT, Vx_inv, Vy_inv_T, Vx, VyT, lam,
+                     tau: float, gamma: float, c1: float, c2: float,
+                     n_trips: int, interpret: bool = False):
+    """Run the full batched 2D adjoint sweep in one Pallas kernel.
+
+    Args:
+      dts:      (M,) schedule; phi_hist, phi_Q: (B, M+1, n, m);
+      phi_T:    (B, n, m) terminal targets; b1, b2: (B,) weights.
+    Returns r (B, M+1, n, m) with r_T = 0 in the last frame — the gradient
+    channel of models/adjoint2d.AdjointSolver2D._run_impl.
+    """
+    B, n, m = phi_T.shape
+    M = phi_hist.shape[1] - 1
+    assert dts.shape == (M,), (dts.shape, M)
+    dtype = phi_T.dtype
+    eps_mach = 2.2e-16 if dtype == jnp.float64 else 1.2e-7
+
+    kernel = _adjoint_kernel_factory(M, float(tau), float(gamma), float(c1),
+                                     float(c2), int(n_trips), eps_mach)
+
+    if _HAS_PLTPU:
+        vmem = pl.BlockSpec(memory_space=pltpu.VMEM)
+        smem = pl.BlockSpec(memory_space=pltpu.SMEM)
+        vspec = lambda shape, idx: pl.BlockSpec(shape, idx,
+                                                memory_space=pltpu.VMEM)
+        scratch = [pltpu.VMEM((1, n, m), dtype)] * 3
+        params = {} if interpret else {
+            "compiler_params": pltpu.CompilerParams(
+                dimension_semantics=("arbitrary", "arbitrary"),
+                vmem_limit_bytes=100 * 2**20)}
+    else:  # pragma: no cover
+        vmem = pl.BlockSpec()
+        smem = pl.BlockSpec()
+        vspec = lambda shape, idx: pl.BlockSpec(shape, idx)
+        scratch = []
+        params = {}
+
+    rev = lambda b, t: (b, M - 1 - t, 0, 0)
+    rev1 = lambda b, t: (b, M - t, 0, 0)
+    r_rev = pl.pallas_call(
+        kernel,
+        grid=(B, M),
+        in_specs=[
+            smem, smem, smem,                          # dts, b1, b2
+            vspec((1, 1, n, m), rev),                  # phi_n
+            vspec((1, 1, n, m), rev1),                 # phi_{n+1}
+            vspec((1, 1, n, m), rev),                  # phi_Q_n
+            vspec((1, 1, n, m), rev1),                 # phi_Q_{n+1}
+            vspec((1, n, m), lambda b, t: (b, 0, 0)),  # phi_T
+            vmem, vmem,                                # Lx, LyT
+            vmem, vmem, vmem, vmem,                    # transforms
+            vmem,                                      # lam
+        ],
+        out_specs=vspec((1, 1, n, m), rev),
+        out_shape=jax.ShapeDtypeStruct((B, M, n, m), dtype),
+        scratch_shapes=scratch,
+        interpret=interpret,
+        **params,
+    )(dts, b1, b2, phi_hist, phi_hist, phi_Q, phi_Q, phi_T,
+      Lx, LyT, Vx_inv, Vy_inv_T, Vx, VyT, lam)
+
+    r_T = jnp.zeros((B, 1, n, m), dtype)
+    return jnp.concatenate([r_rev, r_T], axis=1)

@@ -149,7 +149,12 @@ class _BatchedPGDBase:
         # semantics, ~B/straggler_batch fewer FLOPs per straggler round; one
         # extra compile at the sub-batch shape. Single-chip only (a gather
         # across a sharded batch axis would insert collectives per round).
-        self.straggler_batch = straggler_batch
+        # "auto" = bucketed ladder (smallest power-of-2 bucket >= straggler
+        # count each round) — the default on the fused-march path, where a
+        # bucket shape compiles in ~1s instead of the scan path's minutes.
+        if straggler_batch is None and getattr(self, "_fused_forward", None):
+            straggler_batch = "auto"
+        self.straggler_batch = straggler_batch or None
         self.straggler_rounds = 0   # diagnostic: sub-batch rounds taken
         # Speculative ladder packing (see _search_speculative). OPT-IN:
         # measured SLOWER than the plain masked search at the homogeneous
@@ -166,6 +171,11 @@ class _BatchedPGDBase:
         # search-while(forward-scan) nesting faults the axon TPU runtime.
         def _adjoint_only(u, phi, b1, b2, phi_Q, phi_T):
             return self._adjoint(phi, u, b1, b2, phi_Q, phi_T)
+
+        # Whole-batch fused adjoint (the reverse-march Pallas kernel,
+        # ops/pallas_march.py): set by a subclass as self._fused_adjoint
+        # (u, phi, b1, b2, phi_Q, phi_T) -> r. Replaces vmap(adjoint).
+        fused_adj = getattr(self, "_fused_adjoint", None)
 
         def _trial(u, r, alpha, phi0, phi_Q, phi_T, b1, b2, b3, ks):
             # grad = r + b3 u computed HERE (fused into the prox) rather
@@ -213,7 +223,8 @@ class _BatchedPGDBase:
                     lambda *xs: jnp.concatenate(xs, axis=0), *outs)
             return call
 
-        self._adjoint_v = _chunked(self._maybe_shard(jax.vmap(_adjoint_only)))
+        self._adjoint_v = _chunked(self._maybe_shard(
+            fused_adj if fused_adj is not None else jax.vmap(_adjoint_only)))
 
         # Whole-batch fused forward (the 2D fused-march Pallas kernel,
         # ops/pallas_march.py): set by a subclass as self._fused_forward
@@ -317,8 +328,22 @@ class _BatchedPGDBase:
             last = j == max_trials - 1
             nxt = np.where(j == 0, alpha_prev_np * s.ls_alpha_factor,
                            alpha_try * s.ls_beta)
-            use_sub = (sb is not None and j > 0 and res is not None
-                       and 0 < n_search <= sb < B and self.mesh is None)
+            if sb == "auto":
+                # bucketed ladder: smallest power-of-2 sub-batch that holds
+                # the still-searching set (>= 8, < B). One compile per
+                # bucket shape — affordable since the fused-march trial
+                # program compiles in ~1s (vs minutes for the scan path),
+                # and each backtracking round then costs FLOPs proportional
+                # to the straggler count instead of the full batch.
+                sb_j = 8
+                while sb_j < n_search:
+                    sb_j *= 2
+                if sb_j >= B:
+                    sb_j = None
+            else:
+                sb_j = sb
+            use_sub = (sb_j is not None and j > 0 and res is not None
+                       and 0 < n_search <= sb_j < B and self.mesh is None)
             if use_sub:
                 self.straggler_rounds += 1
                 # straggler compaction: gather the still-searching members
@@ -328,7 +353,7 @@ class _BatchedPGDBase:
                 # FLOPs for the backtracking tail
                 idx = np.concatenate([
                     np.nonzero(searching)[0],
-                    np.nonzero(~searching)[0][: sb - n_search]])
+                    np.nonzero(~searching)[0][: sb_j - n_search]])
                 idx_j = jnp.asarray(idx)
                 g = self._gather_v(idx_j, u, r, phi0, phi_Q, phi_T,
                                    b1, b2, b3, ks)
@@ -509,6 +534,68 @@ class _BatchedPGDBase:
         u1, phi1, c1 = res
         return (u1, phi1, np.asarray(c1), res_alpha, n_trials, opt_ok, solves,
                 phase)
+
+    def _straggler_buckets(self, B: int):
+        """Sub-batch trial shapes the masked search can gather into."""
+        sb = self.straggler_batch
+        if sb is None or self.mesh is not None:
+            return []
+        if sb == "auto":
+            out, c = [], 8
+            while c < B:
+                out.append(c)
+                c *= 2
+            return out
+        return [sb] if 0 < sb < B else []
+
+    def prewarm(self, scenarios: ScenarioBatch, dtype=None):
+        """Compile every sub-batch trial program run() can gather into.
+
+        The bucketed straggler ladder trades one compile per bucket shape
+        for per-round FLOPs proportional to the straggler count. Those
+        compiles amortize over a production run's hundreds of iterations,
+        but a short measurement (or a latency-sensitive caller) should pay
+        them up front: this runs one throwaway trial per bucket size.
+        The full-batch programs are compiled by a 1-iteration run().
+        """
+        dtype = dtype or self.dtype
+        B = scenarios.batch
+        buckets = self._straggler_buckets(B)
+        if not buckets:
+            return
+        # the prox bounds are baked into the traced trial (same as run())
+        self.u_min, self.u_max = scenarios.u_min, scenarios.u_max
+        if scenarios.phi_Q is None:
+            self._set_phi_Q_mode(scenarios.phi_Q_mode)
+        as_dev = lambda a: None if a is None else jnp.asarray(a, dtype)
+        phi0 = as_dev(scenarios.phi0)
+        phi_Q = as_dev(scenarios.phi_Q)
+        phi_T = as_dev(scenarios.phi_T)
+        b1, b2 = as_dev(scenarios.b1), as_dev(scenarios.b2)
+        b3, ks = as_dev(scenarios.b3), as_dev(scenarios.kappa_spar)
+        u = jnp.zeros((B,) + self._control_shape, dtype)
+        r = jnp.zeros_like(u)
+        alpha = jnp.ones((B,), dtype)
+        # full-batch trial supplies a correctly-shaped `res` for the
+        # scatter programs (and is itself compiled here if run() hasn't)
+        res = self._trial_v(u, r, alpha, phi0, phi_Q, phi_T,
+                            b1, b2, b3, ks)[:3]
+        # full-batch masked merge (used whenever the straggler count
+        # exceeds the largest bucket); operands are donated on TPU, so
+        # feed it a copy and keep its return value
+        res = self._merge_v(jnp.zeros((B,), bool),
+                            jax.tree_util.tree_map(jnp.copy, res), res)
+        for bsz in buckets:
+            # compile the whole compaction round at this bucket shape:
+            # gather -> sub-batch trial -> masked scatter (exactly the
+            # programs _search hits)
+            idx = jnp.asarray(np.arange(bsz))
+            g = self._gather_v(idx, u, r, phi0, phi_Q, phi_T,
+                               b1, b2, b3, ks)
+            out = self._trial_v(g[0], g[1], jnp.ones((bsz,), dtype), *g[2:])
+            res = self._scatter_v(res, out[:3], idx,
+                                  jnp.zeros((bsz,), bool))
+        jax.block_until_ready(res[2])
 
     def run(self, scenarios: ScenarioBatch, max_iter: int,
             verbose: bool = True, dtype=None,
@@ -731,8 +818,7 @@ class BatchedProblem1D(_BatchedPGDBase):
         return calculate_cost_1d(phi_ref, u_ref, phi_Q, phi_T, self._x,
                                  self._t_ref, b1, b2, b3, ks)
 
-    def run(self, scenarios: ScenarioBatch, max_iter: int,
-            verbose: bool = True, dtype=None, **kwargs):
+    def _to_ref_layout(self, scenarios: ScenarioBatch) -> ScenarioBatch:
         # convert core-layout phi_Q (M+1 rows, as sweep_1d builds) to the
         # reference layout (duplicated t=0 row) this problem operates in —
         # on a COPY of the caller's batch (mutating the input made a second
@@ -746,8 +832,15 @@ class BatchedProblem1D(_BatchedPGDBase):
             scenarios = dataclasses.replace(
                 scenarios,
                 phi_Q=jnp.concatenate([pq[:, :1], pq], axis=1))
-        return super().run(scenarios, max_iter, verbose=verbose, dtype=dtype,
-                           **kwargs)
+        return scenarios
+
+    def prewarm(self, scenarios: ScenarioBatch, dtype=None):
+        return super().prewarm(self._to_ref_layout(scenarios), dtype)
+
+    def run(self, scenarios: ScenarioBatch, max_iter: int,
+            verbose: bool = True, dtype=None, **kwargs):
+        return super().run(self._to_ref_layout(scenarios), max_iter,
+                           verbose=verbose, dtype=dtype, **kwargs)
 
 
 class BatchedProblem2D(_BatchedPGDBase):
@@ -791,6 +884,13 @@ class BatchedProblem2D(_BatchedPGDBase):
                 return phi_hist, ns
 
             self._fused_forward = _fused
+            if self.adj.fused_march_available():
+                def _fused_adj(u, phi, b1, b2, phi_Q, phi_T):
+                    return self.adj.adjoint_fused_batch(
+                        phi, self._dts, b1, b2, phi_Q, phi_T,
+                        interpret=interp)
+
+                self._fused_adjoint = _fused_adj
         super().__init__(settings or PGDSettings.defaults_2d(), alpha_max,
                          mesh, use_mesh, straggler_batch=straggler_batch,
                          speculative=speculative, chunk_size=chunk_size)
