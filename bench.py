@@ -11,10 +11,11 @@ scripts/ref_baseline_2d.py running the actual reference code): it processes
 1/pgd_iter_s_mean scenario-iterations per second (single scenario, its only
 mode). vs_baseline = ours / reference.
 
-Env overrides: VCH_BENCH_N (grid, default 64), VCH_BENCH_BATCH (default 32 —
-the measured single-chip throughput peak; see WEAK_SCALING.json
-tpu_batch_scaling), VCH_BENCH_ITERS (default 3), VCH_BENCH_DTYPE (default
-float32 on TPU).
+Env overrides: VCH_BENCH_N (grid, default 64), VCH_BENCH_BATCH (default 256
+— the fused whole-march kernel runs each member's own Newton trip counts, so
+single-chip throughput scales with batch to ~B=512 instead of peaking at the
+old lockstep B=32; see WEAK_SCALING.json tpu_batch_scaling), VCH_BENCH_ITERS
+(default 3), VCH_BENCH_DTYPE (default float32 on TPU).
 """
 from __future__ import annotations
 
@@ -43,7 +44,7 @@ def main():
     # service (it caches by program hash server-side; the local
     # JAX_COMPILATION_CACHE_DIR is set for non-axon environments).
     N = int(os.environ.get("VCH_BENCH_N", "64"))
-    B = int(os.environ.get("VCH_BENCH_BATCH", "32"))
+    B = int(os.environ.get("VCH_BENCH_BATCH", "256"))
     iters = int(os.environ.get("VCH_BENCH_ITERS", "3"))
     on_tpu = jax.default_backend() != "cpu"
     dtype = os.environ.get("VCH_BENCH_DTYPE",
@@ -62,7 +63,8 @@ def main():
         Nx=N, Ny=N, T=1.0, dtype=dtype,
         newton_tol=2e-4 if dtype == "float32" else 1e-6,
         forward_matmul_precision=fwd_prec,
-        **({"krylov_fixed_iters": int(kf)} if kf else {}))
+        **({"krylov_fixed_iters": int(kf),
+            "fused_krylov_fixed_iters": int(kf)} if kf else {}))
     # VCH_BENCH_SEARCH selects the line-search scheduler; all three are
     # identical-semantics and parity-gated in tests/test_parallel.py:
     #   "plain" (default) — masked full-batch rounds; fastest measured at

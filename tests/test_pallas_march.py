@@ -16,6 +16,11 @@ from vch_tpu.ops.potential import init_phi_random_2d
 
 
 def _solver(N=16, T=0.06, **kw):
+    # pin the fused kernel to the scan path's trip count so the parity
+    # tests compare the SAME Krylov path (the production fused default is
+    # 3 trips, a measured pure-throughput choice whose slack the Newton
+    # loop absorbs; see config.fused_krylov_fixed_iters)
+    kw.setdefault("fused_krylov_fixed_iters", 4)
     cfg = ForwardSolverConfig2D(Nx=N, Ny=N, T=T, dtype="float32",
                                 newton_tol=2e-4, **kw)
     s = ForwardSolver2D(cfg)
@@ -80,7 +85,7 @@ def test_fused_march_sanitizer_flags_nonfinite():
 
 def test_batched_pgd_fused_matches_reference_path():
     cfg = ForwardSolverConfig2D(Nx=16, Ny=16, T=0.06, dtype="float32",
-                                newton_tol=2e-4)
+                                newton_tol=2e-4, fused_krylov_fixed_iters=4)
     from vch_tpu.parallel.batch import BatchedProblem2D, sweep_2d
     sc = sweep_2d(cfg, b3_values=[1e-4, 2e-4], kappa_values=[5e-5])
     out0 = BatchedProblem2D(cfg, fused_march=False).run(

@@ -333,13 +333,14 @@ class ForwardSolver2D:
             "fused march is the fixed-trip (f32/TPU) path")
         cfg = self.config
         op = self.op
+        trips = cfg.fused_krylov_fixed_iters or self._krylov_fixed
         return march_fused_2d(
             jnp.asarray(self.dts, self.dtype), phi0, u, op.Lx, op.Ly.T,
             op.Vx_inv, op.Vy_inv.T, op.Vx, op.Vy.T, op.lam,
             jnp.asarray(self._wts_h, self.dtype), cfg.tau, cfg.c1, cfg.c2,
             cfg.kappa, cfg.gamma, DELTA_SEP, cfg.Lx * cfg.Ly,
             cfg.newton_tol, self._rtol, cfg.newton_max_iter,
-            self._krylov_fixed, stagnation_exit=self._stagnation,
+            trips, stagnation_exit=self._stagnation,
             interpret=interpret)
 
     def energy_history(self, phi_hist, w_hist=None, eps=None):

@@ -202,48 +202,69 @@ def _march_kernel_factory(M: int, tau: float, c1: float, c2: float,
             amax = jnp.where(bad_a, 1.0, amax)
             return jnp.minimum(1.0, amax)
 
-        def armijo(phi, mu, dphi, dmu, norm_R):
+        def armijo(phi, mu, dphi, dmu, norm_R, Rphi_R, Rmu_R):
+            """Backtracking on the residual norm. Besides the ref semantics
+            (accept / best-trial fallback / unchanged), every exit path also
+            returns the RESIDUAL of the returned iterate — already computed
+            inside the trial evaluations — so the next Newton iteration
+            skips its residual recompute (4 matmuls + 2 log fields)."""
             eta = 1e-4
             alpha0 = step_ceiling(phi, dphi)
 
             def cond_a(c):
-                return (~c[6]) & (c[7] < 12)
+                return (~c[-2]) & (c[-1] < 12)
 
             def body_a(c):
-                alpha, phi_a, mu_a, best_norm, best_phi, best_mu, _, j = c
+                (alpha, phi_a, mu_a, aN, aRp, aRm,
+                 best_norm, best_phi, best_mu, bRp, bRm, _, j) = c
                 phi_t = phi + alpha * dphi
                 mu_t = mu + alpha * dmu
-                norm_t, _, _ = resid(phi_t, mu_t)
+                norm_t, Rp_t, Rm_t = resid(phi_t, mu_t)
                 better = norm_t < best_norm
-                best_norm = jnp.where(better, norm_t, best_norm)
-                best_phi = jnp.where(better, phi_t, best_phi)
-                best_mu = jnp.where(better, mu_t, best_mu)
+                sb = lambda a, bb: jnp.where(better, a, bb)
+                best_norm = sb(norm_t, best_norm)
+                best_phi = sb(phi_t, best_phi)
+                best_mu = sb(mu_t, best_mu)
+                bRp = sb(Rp_t, bRp)
+                bRm = sb(Rm_t, bRm)
                 accept = norm_t <= (1.0 - eta * alpha) * norm_R
-                phi_a = jnp.where(accept, phi_t, phi_a)
-                mu_a = jnp.where(accept, mu_t, mu_a)
+                sa = lambda a, bb: jnp.where(accept, a, bb)
+                phi_a = sa(phi_t, phi_a)
+                mu_a = sa(mu_t, mu_a)
+                aN = sa(norm_t, aN)
+                aRp = sa(Rp_t, aRp)
+                aRm = sa(Rm_t, aRm)
                 alpha = jnp.where(accept, alpha, alpha * 0.5)
-                return (alpha, phi_a, mu_a, best_norm, best_phi, best_mu,
-                        accept, j + 1)
+                return (alpha, phi_a, mu_a, aN, aRp, aRm,
+                        best_norm, best_phi, best_mu, bRp, bRm, accept, j + 1)
 
             big = jnp.asarray(jnp.inf, dt_)
-            init = (alpha0, phi, mu, big, phi, mu, jnp.bool_(False),
+            init = (alpha0, phi, mu, norm_R, Rphi_R, Rmu_R,
+                    big, phi, mu, Rphi_R, Rmu_R, jnp.bool_(False),
                     jnp.int32(0))
-            (_, phi_a, mu_a, best_norm, best_phi, best_mu, accepted,
-             _) = jax.lax.while_loop(cond_a, body_a, init)
+            (_, phi_a, mu_a, aN, aRp, aRm, best_norm, best_phi, best_mu,
+             bRp, bRm, accepted, _) = jax.lax.while_loop(cond_a, body_a, init)
             use_best = (~accepted) & (best_norm < norm_R)
-            phi_out = jnp.where(accepted, phi_a,
-                                jnp.where(use_best, best_phi, phi))
-            mu_out = jnp.where(accepted, mu_a,
-                               jnp.where(use_best, best_mu, mu))
-            return phi_out, mu_out
+            pick = lambda a, bb, cc: jnp.where(accepted, a,
+                                               jnp.where(use_best, bb, cc))
+            return (pick(phi_a, best_phi, phi), pick(mu_a, best_mu, mu),
+                    pick(aN, best_norm, norm_R), pick(aRp, bRp, Rphi_R),
+                    pick(aRm, bRm, Rmu_R))
 
         # ---- Newton while_loop (this member's own trip count) ----
         def cond_n(c):
             return (~c[3]) & (c[2] < newton_max_iter)
 
         def body_n(c):
-            phi, mu, k, done, norm0, prev_norm, nsolve = c
-            norm_R, Rphi, Rmu = resid(phi, mu)
+            phi, mu, k, done, norm0, prev_norm, nsolve, nR, Rp, Rm = c
+
+            def fresh(_):
+                return resid(phi, mu)
+
+            # k == 0 computes the residual; afterwards every Armijo exit
+            # path carries the residual of its returned iterate
+            norm_R, Rphi, Rmu = jax.lax.cond(k == 0, fresh,
+                                             lambda a: a, (nR, Rp, Rm))
             norm0 = jnp.where(k == 0, norm_R, norm0)
             conv = norm_R < newton_tol
             if newton_rtol > 0:
@@ -254,17 +275,20 @@ def _march_kernel_factory(M: int, tau: float, c1: float, c2: float,
             def take_step(args):
                 phi, mu = args
                 dphi, dmu = schur_solve(phi, Rphi, Rmu)
-                return armijo(phi, mu, dphi, dmu, norm_R)
+                return armijo(phi, mu, dphi, dmu, norm_R, Rphi, Rmu)
 
-            phi_n, mu_n = jax.lax.cond(conv, lambda a: a, take_step,
-                                       (phi, mu))
+            phi_n, mu_n, nR_n, Rp_n, Rm_n = jax.lax.cond(
+                conv, lambda a: (a[0], a[1], norm_R, Rphi, Rmu), take_step,
+                (phi, mu))
             nsolve = nsolve + jnp.where(conv, 0, 1).astype(jnp.int32)
-            return (phi_n, mu_n, k + 1, conv, norm0, norm_R, nsolve)
+            return (phi_n, mu_n, k + 1, conv, norm0, norm_R, nsolve,
+                    nR_n, Rp_n, Rm_n)
 
         big = jnp.asarray(jnp.inf, dt_)
+        zf = jnp.zeros_like(phi_old)
         init_n = (phi_old, mu_init, jnp.int32(0), jnp.bool_(False), big, big,
-                  jnp.int32(0))
-        phi_new, mu_new, _, _, _, _, k_n = jax.lax.while_loop(
+                  jnp.int32(0), big, zf, zf)
+        phi_new, mu_new, _, _, _, _, k_n, _, _, _ = jax.lax.while_loop(
             cond_n, body_n, init_n)
 
         # ---- clip + interior mass correction + sanitizer (ref :564-577) ----
