@@ -65,6 +65,7 @@ def bench_config_2(iters: int, batch: int = 64):
                              kappa_spar=tile(sc.kappa_spar))
     sc = _stage(sc, dt)
     prob.run(sc, max_iter=1, verbose=False)           # compile
+    prob.prewarm(sc)            # straggler-bucket trial shapes
     t0 = time.perf_counter()
     out = prob.run(sc, max_iter=iters, verbose=False,
                    host_results=False)
@@ -147,6 +148,7 @@ def bench_config_4(iters: int, batch: int = 64, lowmem: bool = False,
     sc = _tile_batch(sc, batch)
     sc = _stage(sc, dt)
     prob.run(sc, max_iter=1, verbose=False)           # compile
+    prob.prewarm(sc)            # straggler-bucket trial shapes
     t0 = time.perf_counter()
     out = prob.run(sc, max_iter=iters, verbose=False,
                    host_results=False)
@@ -183,6 +185,7 @@ def bench_config_5(iters: int, batch: int = 8, K: int = 10):
     sc = _tile_batch(sc, batch)
     sc = _stage(sc, dt)
     prob.run(sc, max_iter=1, verbose=False)           # compile
+    prob.prewarm(sc)            # straggler-bucket trial shapes
     t0 = time.perf_counter()
     out = prob.run(sc, max_iter=iters, verbose=False,
                    host_results=False)
