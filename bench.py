@@ -59,12 +59,16 @@ def main():
     # verified on-chip, 16% faster than 'highest'); override here if needed.
     fwd_prec = os.environ.get("VCH_BENCH_FWD_PRECISION", "high") or None
     kf = os.environ.get("VCH_BENCH_KRYLOV_FIXED")
+    at = os.environ.get("VCH_BENCH_ADJ_TRIPS")
     cfg = ForwardSolverConfig2D(
         Nx=N, Ny=N, T=1.0, dtype=dtype,
         newton_tol=2e-4 if dtype == "float32" else 1e-6,
         forward_matmul_precision=fwd_prec,
         **({"krylov_fixed_iters": int(kf),
-            "fused_krylov_fixed_iters": int(kf)} if kf else {}))
+            "fused_krylov_fixed_iters": int(kf)} if kf else {}),
+        **({"adjoint_krylov_fixed_iters": int(at)} if at else {}),
+        **({"fused_solve_precision": os.environ["VCH_BENCH_SOLVE_PREC"]}
+           if os.environ.get("VCH_BENCH_SOLVE_PREC") else {}))
     # VCH_BENCH_SEARCH selects the line-search scheduler; all three are
     # identical-semantics and parity-gated in tests/test_parallel.py:
     #   "plain" (default) — masked full-batch rounds; fastest measured at

@@ -341,7 +341,9 @@ class ForwardSolver2D:
             cfg.kappa, cfg.gamma, DELTA_SEP, cfg.Lx * cfg.Ly,
             cfg.newton_tol, self._rtol, cfg.newton_max_iter,
             trips, stagnation_exit=self._stagnation,
-            interpret=interpret)
+            interpret=interpret,
+            solve_prec=getattr(cfg, "fused_solve_precision", None)
+            or "highest")
 
     def energy_history(self, phi_hist, w_hist=None, eps=None):
         """Free energy per stored frame (ref COMPUTE_ENERGY flag semantics,

@@ -48,16 +48,25 @@ def _march_kernel_factory(M: int, tau: float, c1: float, c2: float,
                           kappa: float, gamma: float, delta_sep: float,
                           area: float, newton_tol: float, newton_rtol: float,
                           newton_max_iter: int, n_trips: int,
-                          stagnation_exit: bool, eps_mach: float):
+                          stagnation_exit: bool, eps_mach: float,
+                          solve_prec: str = "highest"):
     """Build the fused-march kernel with the config constants baked in.
 
     All physics/tolerance scalars are per-solver compile-time constants
     (they come from the pydantic config); only dt varies per step and is
     read from the SMEM schedule.
+
+    solve_prec: matmul precision INSIDE the Krylov solve only ('highest'
+    or 'default' = raw bf16 passes). Residuals, Laplacians, and the Armijo
+    trials always run at HIGHEST — they gate solution quality, so an
+    imprecise solve direction can only cost extra Newton iterations
+    (observable in the returned counters), never accuracy.
     """
     log_eps = max(1e-8, 0.5 * delta_sep)
     lo, hi = -1.0 + delta_sep, 1.0 - delta_sep
     dsep2 = 1.0 - delta_sep * delta_sep
+    sprec = (jax.lax.Precision.DEFAULT if solve_prec == "default"
+             else jax.lax.Precision.HIGHEST)
 
     def kernel(dts_ref, phi0_ref, u_n_ref, u_np1_ref, Lx_ref, LyT_ref,
                Vxi_ref, VyiT_ref, Vx_ref, VyT_ref, lam_ref, wts_ref,
@@ -146,8 +155,13 @@ def _march_kernel_factory(M: int, tau: float, c1: float, c2: float,
             poly = inv_dt - tau_dt * lam + 0.5 * kappa * lam * lam
             denom = poly - dbar * lam
 
+            def mm_s(a, c):
+                return jnp.dot(a, c, preferred_element_type=dt_,
+                               precision=sprec)
+
             def apply_S(yh):
-                return poly * yh - lam * to_s(d * from_s(yh))
+                return poly * yh - lam * mm_s(mm_s(Vxi, d * mm_s(
+                    mm_s(Vx, yh), VyT)), VyiT)
 
             bvec = to_s(lap(Rphi) - Rmu)
             dot = lambda a, c: jnp.sum(a * c)
@@ -321,7 +335,8 @@ def march_fused_2d(dts, phi0, u, Lx, LyT, Vx_inv, Vy_inv_T, Vx, VyT, lam, wts,
                    gamma: float, delta_sep: float, area: float,
                    newton_tol: float, newton_rtol: float,
                    newton_max_iter: int, n_trips: int,
-                   stagnation_exit: bool = True, interpret: bool = False):
+                   stagnation_exit: bool = True, interpret: bool = False,
+                   solve_prec: str = "highest"):
     """Run the full batched 2D forward march in one Pallas kernel.
 
     Args:
@@ -348,7 +363,8 @@ def march_fused_2d(dts, phi0, u, Lx, LyT, Vx_inv, Vy_inv_T, Vx, VyT, lam, wts,
     kernel = _march_kernel_factory(
         M, float(tau), float(c1), float(c2), float(kappa), float(gamma),
         float(delta_sep), float(area), float(newton_tol), float(newton_rtol),
-        int(newton_max_iter), int(n_trips), bool(stagnation_exit), eps_mach)
+        int(newton_max_iter), int(n_trips), bool(stagnation_exit), eps_mach,
+        solve_prec=solve_prec)
 
     if _HAS_PLTPU:
         vmem = pl.BlockSpec(memory_space=pltpu.VMEM)
