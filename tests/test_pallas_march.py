@@ -99,6 +99,57 @@ def test_batched_pgd_fused_matches_reference_path():
     assert out1["newton_solves"] == out0["newton_solves"]
 
 
+def _solver_1d(N=64, T=0.06, **kw):
+    from vch_tpu.config import ForwardSolverConfig1D
+    from vch_tpu.models.forward1d import ForwardSolver1D
+    cfg = ForwardSolverConfig1D(N=N, T=T, dtype="float32", newton_tol=2e-4,
+                                linsolve_1d="spectral", **kw)
+    return ForwardSolver1D(cfg)
+
+
+def test_fused_march_1d_matches_scan_path():
+    from vch_tpu.ops.potential import init_phi_random_1d
+    solver = _solver_1d()
+    N, M, B = solver.config.N, solver.M, 3
+    rng = np.random.default_rng(0)
+    phi0 = np.stack([init_phi_random_1d(N, DELTA_SEP, amp=0.01, seed=42 + i)
+                     for i in range(B)])
+    u = jnp.asarray(0.05 * rng.standard_normal((B, M + 1, N + 1)),
+                    solver.dtype)
+    phi0 = jnp.asarray(phi0, solver.dtype)
+    phi_ref, st = jax.vmap(solver._march_impl)(u, phi0)
+    phi_f, ns, bad = solver.march_fused_batch(u, phi0, interpret=True)
+    diff = np.abs(np.asarray(phi_f) - np.asarray(phi_ref)).max()
+    # raw-basis (scan) vs spectral-basis (fused) Krylov paths: agreement is
+    # gated by the Newton tolerance, not bitwise
+    assert diff < 5e-4, diff
+    ns_ref = int(np.asarray(st.newton_solves).sum())
+    ns_f = int(np.asarray(ns).sum())
+    assert abs(ns_f - ns_ref) <= 0.1 * ns_ref + 3, (ns_f, ns_ref)
+    assert (np.asarray(bad) == -1).all()
+    # mass conservation through the uniform projection
+    wts = np.asarray(solver._wts_h)
+    mass = (wts * np.asarray(phi_f)).sum(axis=-1)
+    m0 = (wts * np.asarray(phi0)).sum(axis=-1)
+    assert np.abs(mass - m0[:, None]).max() < 1e-5
+
+
+def test_batched_pgd_1d_fused_matches_reference_path():
+    from vch_tpu.config import ForwardSolverConfig1D
+    from vch_tpu.parallel.batch import BatchedProblem1D, sweep_1d
+    cfg = ForwardSolverConfig1D(N=64, T=0.06, dtype="float32",
+                                newton_tol=2e-4, linsolve_1d="spectral")
+    sc = sweep_1d(cfg, b3_values=[1e-3, 5e-3], kappa_values=[5e-5])
+    out0 = BatchedProblem1D(cfg, fused_march=False).run(
+        sc, max_iter=3, verbose=False)
+    prob = BatchedProblem1D(cfg, fused_march=True)
+    assert prob._use_fused_march
+    out1 = prob.run(sc, max_iter=3, verbose=False)
+    rel = (np.abs(out1["cost_history"] - out0["cost_history"])
+           / np.abs(out0["cost_history"]))
+    assert rel.max() < 5e-4, rel.max()
+
+
 def test_fused_march_nonuniform_final_dt():
     # T=0.05 with dt=0.02 -> schedule [0.02, 0.02, 0.01] exercises the
     # per-step SMEM dt read

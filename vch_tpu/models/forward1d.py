@@ -288,6 +288,38 @@ class ForwardSolver1D:
         phi_hist = jnp.concatenate([phi0[None], phis], axis=0)
         return phi_hist, MarchStats(nsolve, first_bad)
 
+    def fused_march_available(self, batch: int) -> bool:
+        """Whether the fused whole-march 1D kernel can carry a batch of
+        this size (f32 spectral fixed-trip path, (B, n) blocks in VMEM)."""
+        from vch_tpu.ops.pallas_kernels import kernel_vmem_fits
+        return (self._use_spectral and self._krylov_fixed is not None
+                and kernel_vmem_fits(batch, self.config.N + 1))
+
+    def march_fused_batch(self, u, phi0, interpret: bool = False):
+        """Batched 1D forward march in ONE Pallas kernel (grid = time axis,
+        whole batch per cell — see ops/pallas_march.march_fused_1d).
+
+        Args: u (B, M+1, N+1) CORE layout, phi0 (B, N+1).
+        Returns (phi_hist (B, M+1, N+1), newton_solves (B,), first_bad (B,)).
+        Newton/Armijo run in masked per-member lockstep (vmapped-scan
+        semantics); the Krylov path is the spectral-basis fixed-trip
+        BiCGStab, so trajectories match the scan path at the Newton
+        tolerance (not bitwise — the scan path preconditions in the raw
+        basis)."""
+        from vch_tpu.ops.pallas_march import march_fused_1d
+        assert self._use_spectral and self._krylov_fixed is not None
+        cfg = self.config
+        op = self._op1d
+        dtype = self.dtype
+        return march_fused_1d(
+            jnp.asarray(self.dts, dtype), phi0, u,
+            op.L.T, op.Vinv.T, op.V.T, op.lam[None, :],
+            jnp.asarray(self._wts_h, dtype)[None, :],
+            cfg.tau, cfg.c1, cfg.c2, cfg.kappa, cfg.gamma, DELTA_SEP,
+            float(cfg.Lx), cfg.newton_tol, self._rtol, cfg.newton_max_iter,
+            self._krylov_fixed, stagnation_exit=self._stagnation,
+            interpret=interpret)
+
     # -- public API -------------------------------------------------------
     def simulate(self, control: Optional[np.ndarray] = None,
                  initial_phi: Optional[np.ndarray] = None,

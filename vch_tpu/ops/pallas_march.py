@@ -625,3 +625,377 @@ def adjoint_fused_2d(dts, phi_hist, phi_Q, phi_T, b1, b2,
 
     r_T = jnp.zeros((B, 1, n, m), dtype)
     return jnp.concatenate([r_rev, r_T], axis=1)
+
+
+# ---------------------------------------------------------------------------
+# 1D fused march: one grid cell per TIME STEP, whole batch per cell
+# ---------------------------------------------------------------------------
+
+def _march1d_kernel_factory(M: int, tau: float, c1: float, c2: float,
+                            kappa: float, gamma: float, delta_sep: float,
+                            Lx_len: float, newton_tol: float,
+                            newton_rtol: float, newton_max_iter: int,
+                            n_trips: int, stagnation_exit: bool,
+                            eps_mach: float):
+    """Fused 1D batched march (models/forward1d.py semantics).
+
+    Unlike the 2D kernel (grid over members, per-member loops), 1D fields
+    are (N+1,) vectors: a per-member kernel would run 1-row matmuls and
+    starve the MXU. Instead the grid is the TIME axis and each cell holds
+    the WHOLE batch: matmuls are (B, n) @ (n, n) — full MXU tiles — and
+    the Newton/Armijo loops run in masked per-member lockstep with exactly
+    the vmapped-scan semantics (a member's carry freezes once its own exit
+    fires), minus the per-op launch/HBM-roundtrip overhead of composed XLA.
+
+    Loop-carried state lives in VMEM SCRATCH REFS, not while/fori carries:
+    Mosaic cannot legalize scf yields whose (B, 1) per-member values carry
+    a lane-REPLICATED layout from keepdims reductions ("failed to legalize
+    scf.yield"); ref stores/loads relayout freely, so every loop carries
+    only rank-0 scalars.
+
+    Scratch column map (pm_s, a (B, 8) f32 ref):
+      0 m0   1 newton-done   2 norm0   3 prev_norm   4 nsolve
+      5 armijo-accepted      6 first-trip flag (unused spare)  7 spare
+    """
+    log_eps = max(1e-8, 0.5 * delta_sep)
+    lo, hi = -1.0 + delta_sep, 1.0 - delta_sep
+
+    def kernel(dts_ref, phi0_ref, u_n_ref, u_np1_ref, LT_ref, VinvT_ref,
+               VT_ref, lam_ref, wts_ref,
+               hist_ref, ns_ref, bad_ref,
+               phi_s, mu_s, w_s, pm_s,
+               phin_s, mun_s, phia_s, mua_s,
+               x_s, r_s, p_s, v_s, bx_s, kr_s):
+        m = pl.program_id(0)
+        LT = LT_ref[:]
+        VinvT = VinvT_ref[:]
+        VT = VT_ref[:]
+        lam = lam_ref[:]          # (1, n) eigenvalue row
+        wts = wts_ref[:]          # (1, n) trapz weights * h
+        dt_ = lam.dtype
+
+        def mm(a, c):
+            return jnp.dot(a, c, preferred_element_type=dt_, precision=_PREC)
+
+        def lap(v):
+            return mm(v, LT)
+
+        def to_s(v):
+            return mm(v, VinvT)
+
+        def from_s(vh):
+            return mm(vh, VT)
+
+        def f_log(phi):
+            ph = jnp.clip(phi, -1.0 + log_eps, 1.0 - log_eps)
+            return jnp.log((1.0 + ph) / (1.0 - ph))
+
+        msum = lambda a: jnp.sum(a, axis=1, keepdims=True)   # (B, 1)
+
+        @pl.when(m == 0)
+        def _():
+            phi0 = phi0_ref[:]
+            phi_s[:] = phi0
+            w_s[:] = jnp.zeros_like(phi0)
+            mu_s[:] = (-kappa * lap(phi0)
+                       + c1 * f_log(phi0) - 2.0 * c2 * phi0)
+            pm_s[:, 0:1] = msum(wts * phi0)
+            ns_ref[:] = jnp.zeros_like(ns_ref)
+            bad_ref[:] = -jnp.ones_like(bad_ref)
+
+        phi_old = phi_s[:]
+        mu_old = mu_s[:]
+        w_old = w_s[:]
+        m0 = pm_s[:, 0:1]
+        dt = dts_ref[m]
+        inv_dt = 1.0 / dt
+        tau_dt = tau * inv_dt
+
+        gamma_dt = gamma * inv_dt
+        w_new = (((gamma_dt - 0.5) * w_old
+                  + 0.5 * (u_np1_ref[0] + u_n_ref[0]))
+                 / (gamma_dt + 0.5))
+        lap_mu_old = lap(mu_old)
+        lap_phi_old = lap(phi_old)
+        f_ccv = -2.0 * c2 * phi_old
+        w_avg = 0.5 * (w_new + w_old)
+
+        def resid(phi, mu):
+            lap_mu = lap(mu)
+            lap_phi = lap(phi)
+            Rmu = (phi - phi_old) * inv_dt - 0.5 * (lap_mu + lap_mu_old)
+            Rphi = (tau * inv_dt * (phi - phi_old)
+                    - 0.5 * kappa * (lap_phi + lap_phi_old)
+                    + c1 * f_log(phi) + f_ccv
+                    - 0.5 * (mu + mu_old) - w_avg)
+            norm = jnp.sqrt(msum(Rphi * Rphi) + msum(Rmu * Rmu))   # (B, 1)
+            return norm, Rphi, Rmu
+
+        def schur_solve(phi, Rphi, Rmu):
+            """Per-member spectral-basis fixed-trip BiCGStab, vectorized
+            over the batch axis (newton_schur_solve_1d_spectral semantics
+            with the bicgstab_fixed freeze/best-iterate policy). Krylov
+            state lives in scratch refs; the fori carries nothing."""
+            d = 2.0 * c1 / (1.0 - phi * phi)
+            dbar = msum(d) / d.shape[1]
+            poly = inv_dt - tau_dt * lam + 0.5 * kappa * lam * lam
+            denom = poly - dbar * lam                   # (B, n)
+
+            def apply_S(yh):
+                return poly * yh - lam * to_s(d * from_s(yh))
+
+            bvec = to_s(lap(Rphi) - Rmu)
+            dot = lambda a, c: msum(a * c)              # (B, 1)
+            eps_div = jnp.asarray(1e-30, dt_)
+            r0 = bvec
+            floor2 = ((50.0 * eps_mach) ** 2
+                      * jnp.maximum(dot(bvec, bvec), eps_div))
+
+            x_s[:] = jnp.zeros_like(bvec)
+            r_s[:] = bvec
+            p_s[:] = jnp.zeros_like(bvec)
+            v_s[:] = jnp.zeros_like(bvec)
+            bx_s[:] = jnp.zeros_like(bvec)
+            kr_s[:, 0:1] = jnp.ones_like(m0)            # rho
+            kr_s[:, 1:2] = jnp.ones_like(m0)            # alpha
+            kr_s[:, 2:3] = jnp.ones_like(m0)            # omega
+            kr_s[:, 3:4] = dot(r0, r0)                  # best_r2
+
+            def body(_, carry):
+                x = x_s[:]
+                r = r_s[:]
+                p = p_s[:]
+                v = v_s[:]
+                rho = kr_s[:, 0:1]
+                alpha = kr_s[:, 1:2]
+                omega = kr_s[:, 2:3]
+                best_r2 = kr_s[:, 3:4]
+                active = dot(r, r) > floor2
+                rho_new = dot(r0, r)
+                beta = (rho_new / (rho + eps_div)) * (alpha / (omega + eps_div))
+                p_n = r + beta * (p - omega * v)
+                phat = p_n / denom
+                v_n = apply_S(phat)
+                alpha_n = rho_new / (dot(r0, v_n) + eps_div)
+                s = r - alpha_n * v_n
+                shat = s / denom
+                t = apply_S(shat)
+                omega_n = dot(t, s) / (dot(t, t) + eps_div)
+                x_n = x + alpha_n * phat + omega_n * shat
+                r_n = s - omega_n * t
+                r2_n = dot(r_n, r_n)
+                ok = active & jnp.isfinite(r2_n)
+                sel = lambda a, bb: jnp.where(ok, a, bb)
+                better = ok & (r2_n < best_r2)
+                x_s[:] = sel(x_n, x)
+                r_s[:] = sel(r_n, r)
+                p_s[:] = sel(p_n, p)
+                v_s[:] = sel(v_n, v)
+                kr_s[:, 0:1] = jnp.where(ok, rho_new, rho)
+                kr_s[:, 1:2] = jnp.where(ok, alpha_n, alpha)
+                kr_s[:, 2:3] = jnp.where(ok, omega_n, omega)
+                kr_s[:, 3:4] = jnp.where(better, r2_n, best_r2)
+                bx_s[:] = jnp.where(better, x_n, bx_s[:])
+                return carry
+
+            jax.lax.fori_loop(0, n_trips, body, jnp.int32(0))
+            dphi = from_s(bx_s[:])
+            Kpp_dphi = -(0.5 * kappa) * lap(dphi) + (tau_dt + d) * dphi
+            dmu = 2.0 * (Kpp_dphi + Rphi)
+            return dphi, dmu
+
+        def step_ceiling(phi, dphi):
+            # ref 1D: alpha = min(1, 0.9 * alpha_max), fallback 1.0
+            big = jnp.asarray(jnp.inf, dt_)
+            ratio_pos = jnp.where(dphi > 0, (hi - phi) / dphi, big)
+            ratio_neg = jnp.where(dphi < 0, (lo - phi) / dphi, big)
+            amax = jnp.minimum(jnp.min(ratio_pos, axis=1, keepdims=True),
+                               jnp.min(ratio_neg, axis=1, keepdims=True))
+            bad_a = ~jnp.isfinite(amax) | (amax <= 0)
+            amax = jnp.where(bad_a, 1.0, amax)
+            return jnp.minimum(1.0, 0.9 * amax)         # (B, 1)
+
+        def armijo(phi, mu, dphi, dmu, norm_R, act):
+            """1D Armijo: eta=1e-3, in-bounds guard, NO best-trial fallback;
+            per-member masked lockstep. A live member's trial alpha at round
+            j is exactly alpha0 * 0.5^j (it halves every failed round), so
+            alpha is never stored: phia_s/mua_s/the accepted column carry
+            the per-member state and the loop carries only (j, n_waiting).
+            """
+            eta = 1e-3
+            alpha0 = step_ceiling(phi, dphi)
+            phia_s[:] = phi
+            mua_s[:] = mu
+            pm_s[:, 5:6] = jnp.zeros_like(m0)           # accepted flag
+
+            def cond_a(c):
+                j, n_wait, fac = c
+                return (n_wait > 0) & (j < 12)
+
+            def body_a(c):
+                j, _, fac = c
+                accepted = pm_s[:, 5:6] > 0.5
+                live = act & ~accepted
+                alpha = alpha0 * fac     # exact 0.5^j (Mosaic has no powf)
+                phi_t = phi + alpha * dphi
+                mu_t = mu + alpha * dmu
+                in_bounds = jnp.all(jnp.abs(phi_t) < 1.0 - delta_sep,
+                                    axis=1, keepdims=True)
+                norm_t, _, _ = resid(phi_t, mu_t)
+                accept_now = live & in_bounds & (
+                    norm_t <= (1.0 - eta * alpha) * norm_R)
+                phia_s[:] = jnp.where(accept_now, phi_t, phia_s[:])
+                mua_s[:] = jnp.where(accept_now, mu_t, mua_s[:])
+                pm_s[:, 5:6] = jnp.where(accept_now, 1.0, pm_s[:, 5:6])
+                still = live & ~accept_now
+                return (j + 1, jnp.sum(still.astype(jnp.int32)),
+                        fac * jnp.asarray(0.5, dt_))
+
+            n0 = jnp.sum(act.astype(jnp.int32))
+            jax.lax.while_loop(cond_a, body_a,
+                               (jnp.int32(0), n0, jnp.asarray(1.0, dt_)))
+            return phia_s[:], mua_s[:], pm_s[:, 5:6] > 0.5
+
+        # ---- masked lockstep Newton over the batch (scratch state) ----
+        phin_s[:] = phi_old
+        mun_s[:] = mu_old                 # 1D: initial mu guess = mu_old
+        pm_s[:, 1:2] = jnp.zeros_like(m0)     # done
+        pm_s[:, 2:3] = jnp.full_like(m0, jnp.inf)   # norm0
+        pm_s[:, 3:4] = jnp.full_like(m0, jnp.inf)   # prev_norm
+        pm_s[:, 4:5] = jnp.zeros_like(m0)     # nsolve
+
+        def cond_n(c):
+            k, n_live = c
+            return (n_live > 0) & (k < newton_max_iter)
+
+        def body_n(c):
+            k, _ = c
+            phi = phin_s[:]
+            mu = mun_s[:]
+            done = pm_s[:, 1:2] > 0.5
+            live0 = ~done
+            norm_R, Rphi, Rmu = resid(phi, mu)
+            norm0 = jnp.where(k == 0, norm_R, pm_s[:, 2:3])
+            pm_s[:, 2:3] = norm0
+            conv = norm_R < newton_tol
+            if newton_rtol > 0:
+                conv = conv | (norm_R < newton_rtol * norm0)
+            if stagnation_exit:
+                conv = conv | ((k > 0) & (norm_R >= pm_s[:, 3:4]))
+            act = live0 & ~conv
+            dphi, dmu = schur_solve(phi, Rphi, Rmu)
+            phi_a, mu_a, accepted = armijo(phi, mu, dphi, dmu, norm_R, act)
+            # line-search failure terminates that member's Newton loop
+            take = act & accepted
+            phin_s[:] = jnp.where(take, phi_a, phi)
+            mun_s[:] = jnp.where(take, mu_a, mu)
+            pm_s[:, 4:5] = pm_s[:, 4:5] + jnp.where(act, 1.0, 0.0)
+            done_new = done | conv | (act & ~accepted)
+            pm_s[:, 1:2] = jnp.where(done_new, 1.0, 0.0)
+            pm_s[:, 3:4] = jnp.where(live0, norm_R, pm_s[:, 3:4])
+            return (k + 1, jnp.sum((~done_new).astype(jnp.int32)))
+
+        B_live = jnp.sum(jnp.ones_like(m0, jnp.int32))
+        jax.lax.while_loop(cond_n, body_n, (jnp.int32(0), B_live))
+        phi_new = phin_s[:]
+        mu_new = mun_s[:]
+
+        # clip + uniform mass projection + sanitizer
+        phi_c = jnp.clip(phi_new, lo, hi)
+        mass_error = msum(wts * phi_c) - m0              # (B, 1)
+        is_bad = ~jnp.isfinite(mass_error)
+        phi_c = phi_c - mass_error / Lx_len
+
+        phi_s[:] = phi_c
+        mu_s[:] = mu_new
+        w_s[:] = w_new
+        hist_ref[0] = phi_c
+        ns_ref[:] = ns_ref[:] + pm_s[:, 4:5].astype(jnp.float32)
+        m_f = jnp.asarray(m, jnp.float32) * jnp.ones_like(bad_ref)
+        bad_ref[:] = jnp.where((bad_ref[:] < 0) & is_bad, m_f, bad_ref[:])
+
+    return kernel
+
+
+def march_fused_1d(dts, phi0, u, LT, VinvT, VT, lam, wts,
+                   tau: float, c1: float, c2: float, kappa: float,
+                   gamma: float, delta_sep: float, Lx_len: float,
+                   newton_tol: float, newton_rtol: float,
+                   newton_max_iter: int, n_trips: int,
+                   stagnation_exit: bool = True, interpret: bool = False):
+    """Run the full batched 1D forward march in one Pallas kernel.
+
+    Args:
+      dts:  (M,) schedule; phi0: (B, n); u: (B, M+1, n) CORE layout
+            (no duplicated t=0 row — the wrapper handles ref layout).
+      LT, VinvT, VT: transposed Laplacian / cosine transforms (n, n).
+      lam, wts: (1, n) eigenvalues and trapz weights * h.
+    Returns (phi_hist (B, M+1, n), newton_solves (B,) f32, first_bad (B,)
+    f32 with -1 = none).
+    """
+    B, n = phi0.shape
+    M = u.shape[1] - 1
+    assert dts.shape == (M,), (dts.shape, M)
+    dtype = phi0.dtype
+    eps_mach = 2.2e-16 if dtype == jnp.float64 else 1.2e-7
+
+    kernel = _march1d_kernel_factory(
+        M, float(tau), float(c1), float(c2), float(kappa), float(gamma),
+        float(delta_sep), float(Lx_len), float(newton_tol),
+        float(newton_rtol), int(newton_max_iter), int(n_trips),
+        bool(stagnation_exit), eps_mach)
+
+    # time-major layouts so every block's last two dims equal (B, n)
+    u_tm = jnp.swapaxes(u, 0, 1)                        # (M+1, B, n)
+
+    if _HAS_PLTPU:
+        vmem = pl.BlockSpec(memory_space=pltpu.VMEM)
+        smem = pl.BlockSpec(memory_space=pltpu.SMEM)
+        vspec = lambda shape, idx: pl.BlockSpec(shape, idx,
+                                                memory_space=pltpu.VMEM)
+        # phi/mu/w cross-step state, the (B, 8) per-member scalar block,
+        # Newton iterate + Armijo + Krylov work fields, Krylov scalars
+        scratch = ([pltpu.VMEM((B, n), dtype)] * 3
+                   + [pltpu.VMEM((B, 8), dtype)]
+                   + [pltpu.VMEM((B, n), dtype)] * 9
+                   + [pltpu.VMEM((B, 4), dtype)])
+        params = {} if interpret else {
+            "compiler_params": pltpu.CompilerParams(
+                dimension_semantics=("arbitrary",),
+                vmem_limit_bytes=100 * 2**20)}
+    else:  # pragma: no cover
+        vmem = pl.BlockSpec()
+        smem = pl.BlockSpec()
+        vspec = lambda shape, idx: pl.BlockSpec(shape, idx)
+        scratch = []
+        params = {}
+
+    hist_tm, ns, bad = pl.pallas_call(
+        kernel,
+        grid=(M,),
+        in_specs=[
+            smem,                                       # dts
+            vmem,                                       # phi0 (B, n)
+            vspec((1, B, n), lambda t: (t, 0, 0)),      # u_n
+            vspec((1, B, n), lambda t: (t + 1, 0, 0)),  # u_np1
+            vmem, vmem, vmem,                           # LT, VinvT, VT
+            vmem, vmem,                                 # lam, wts (1, n)
+        ],
+        out_specs=(
+            vspec((1, B, n), lambda t: (t, 0, 0)),      # phi frames
+            vmem,                                       # ns (B, 1)
+            vmem,                                       # bad (B, 1)
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((M, B, n), dtype),
+            jax.ShapeDtypeStruct((B, 1), jnp.float32),
+            jax.ShapeDtypeStruct((B, 1), jnp.float32),
+        ),
+        scratch_shapes=scratch,
+        interpret=interpret,
+        **params,
+    )(dts, phi0, u_tm, u_tm, LT, VinvT, VT, lam, wts)
+
+    phi_hist = jnp.concatenate([phi0[:, None],
+                                jnp.swapaxes(hist_tm, 0, 1)], axis=1)
+    return phi_hist, ns[:, 0], bad[:, 0]

@@ -783,7 +783,8 @@ class BatchedProblem1D(_BatchedPGDBase):
     def __init__(self, fwd_config: Optional[ForwardSolverConfig1D] = None,
                  settings: Optional[PGDSettings] = None,
                  alpha_max: float = 100.0, mesh=None, use_mesh: bool = False,
-                 straggler_batch=None, speculative=None, chunk_size=None):
+                 straggler_batch=None, speculative=None, chunk_size=None,
+                 fused_march: Optional[bool] = None):
         self.fwd_config = fwd_config or ForwardSolverConfig1D()
         self.solver = ForwardSolver1D(self.fwd_config)
         self.adj = AdjointSolver1D(self.fwd_config)
@@ -796,6 +797,34 @@ class BatchedProblem1D(_BatchedPGDBase):
         self._x = jnp.asarray(self.solver.x, self.dtype)
         self._t_ref = jnp.asarray(
             np.concatenate([[0.0], self.solver.t_hist]), self.dtype)
+        # Fused whole-march 1D kernel (time-axis grid, whole batch per
+        # cell): default ON for the single-chip f32/TPU spectral path. The
+        # per-trace VMEM check falls back to the vmapped scan for batch
+        # sizes whose (B, n) working set would not stay resident.
+        self._use_fused_march = (
+            fused_march if fused_march is not None
+            else (mesh is None and not use_mesh
+                  and jax.default_backend() == "tpu"
+                  and self.solver._use_spectral
+                  and self.solver._krylov_fixed is not None))
+        if self._use_fused_march:
+            interp = jax.default_backend() != "tpu"
+            solver = self.solver
+
+            def _fused(u_ref, phi0):
+                B = phi0.shape[0]
+                if not solver.fused_march_available(B):
+                    # static-shape fallback: vmapped scan (per trace)
+                    phi, st = jax.vmap(solver._march_impl)(
+                        u_ref[:, : M + 1], phi0)
+                    ns = st.newton_solves
+                else:
+                    phi, ns, _bad = solver.march_fused_batch(
+                        u_ref[:, : M + 1], phi0, interpret=interp)
+                # reference layout: duplicated t=0 history row
+                return jnp.concatenate([phi[:, :1], phi], axis=1), ns
+
+            self._fused_forward = _fused
         super().__init__(settings or PGDSettings.defaults_1d(), alpha_max,
                          mesh, use_mesh, straggler_batch=straggler_batch,
                          speculative=speculative, chunk_size=chunk_size)
