@@ -150,6 +150,21 @@ def test_batched_pgd_1d_fused_matches_reference_path():
     assert rel.max() < 5e-4, rel.max()
 
 
+def test_make_batched_problem_2d_memory_chooser():
+    from vch_tpu.parallel.batch import (BatchedProblem2D,
+                                        LowMemBatchedProblem2D,
+                                        make_batched_problem_2d)
+    cfg = ForwardSolverConfig2D(Nx=16, Ny=16, T=0.06, dtype="float32",
+                                newton_tol=2e-4)
+    lim = 16 * 2**30
+    small = make_batched_problem_2d(cfg, batch=8, hbm_limit_bytes=lim)
+    assert isinstance(small, BatchedProblem2D)
+    # a batch whose 7x trajectory footprint exceeds 75% of the limit
+    big = make_batched_problem_2d(cfg, batch=2_000_000,
+                                  hbm_limit_bytes=lim)
+    assert isinstance(big, LowMemBatchedProblem2D)
+
+
 def test_fused_march_nonuniform_final_dt():
     # T=0.05 with dt=0.02 -> schedule [0.02, 0.02, 0.01] exercises the
     # per-step SMEM dt read

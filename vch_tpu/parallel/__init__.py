@@ -7,7 +7,10 @@ vmapped on-chip and sharded across a `jax.sharding.Mesh` over the
 "scenarios" axis. Cost/residual reductions ride XLA collectives over ICI.
 """
 from vch_tpu.parallel.mesh import make_mesh, shard_batch, batch_sharding
-from vch_tpu.parallel.batch import BatchedProblem1D, BatchedProblem2D
+from vch_tpu.parallel.batch import (BatchedProblem1D, BatchedProblem2D,
+                                    LowMemBatchedProblem2D,
+                                    make_batched_problem_2d)
 
 __all__ = ["make_mesh", "shard_batch", "batch_sharding",
-           "BatchedProblem1D", "BatchedProblem2D"]
+           "BatchedProblem1D", "BatchedProblem2D",
+           "LowMemBatchedProblem2D", "make_batched_problem_2d"]

@@ -940,6 +940,37 @@ class BatchedProblem2D(_BatchedPGDBase):
                                  self._t, b1, b2, b3, ks)
 
 
+def make_batched_problem_2d(fwd_config: Optional[ForwardSolverConfig2D] = None,
+                            batch: int = 1,
+                            materialized_phi_Q: bool = True,
+                            hbm_limit_bytes: Optional[int] = None,
+                            safety: float = 0.75, K: int = 10, **kwargs):
+    """Pick the full-memory or segment-checkpointed batched 2D problem by
+    estimated peak HBM (SURVEY.md section 7 'Memory at scale').
+
+    The full-memory search holds ~3 trajectory-shaped copies (current
+    selection, trial output, merge workspace) + 3 control-shaped buffers
+    (u, r, trial u) + the tracking target when materialized — ~7x
+    S = batch*(M+1)*(Nx+1)*(Ny+1)*4 bytes, validated against the measured
+    envelope (128x128 fits B=128 and tops out near B=256 on a 16 GB v5e;
+    256x256 fits B=32). Above safety*limit this returns
+    LowMemBatchedProblem2D (O(M/K) checkpoints + recompute), else
+    BatchedProblem2D (fused-march fast path).
+    """
+    cfg = fwd_config or ForwardSolverConfig2D()
+    from vch_tpu.models.timegrid import build_dt_schedule
+    M = len(build_dt_schedule(cfg.T, cfg.dt_initial))
+    bytes_per = 8 if cfg.dtype == "float64" else 4
+    S = batch * (M + 1) * (cfg.Nx + 1) * (cfg.Ny + 1) * bytes_per
+    est = S * (7 if materialized_phi_Q else 6)
+    if hbm_limit_bytes is None:
+        stats = (jax.local_devices()[0].memory_stats() or {})
+        hbm_limit_bytes = stats.get("bytes_limit") or 16 * 2**30
+    if est > safety * hbm_limit_bytes:
+        return LowMemBatchedProblem2D(cfg, K=K, **kwargs)
+    return BatchedProblem2D(cfg, **kwargs)
+
+
 class LowMemBatchedProblem2D(_BatchedPGDBase):
     """Batched 2D PGD whose forward/adjoint never materialize a trajectory.
 
