@@ -343,7 +343,12 @@ class ForwardSolver2D:
             trips, stagnation_exit=self._stagnation,
             interpret=interpret,
             solve_prec=getattr(cfg, "fused_solve_precision", None)
-            or "highest")
+            or "highest",
+            # residuals/Armijo stay HIGHEST (bf16x3 residual noise stalls
+            # the accept test near convergence: 94 -> 38 it/s at 20 iters);
+            # fwd_mm='bf16x3' remains available via fused_solve_precision
+            # wiring for experiments only
+            fwd_mm="highest")
 
     def energy_history(self, phi_hist, w_hist=None, eps=None):
         """Free energy per stored frame (ref COMPUTE_ENERGY flag semantics,

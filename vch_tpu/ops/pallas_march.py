@@ -49,7 +49,8 @@ def _march_kernel_factory(M: int, tau: float, c1: float, c2: float,
                           area: float, newton_tol: float, newton_rtol: float,
                           newton_max_iter: int, n_trips: int,
                           stagnation_exit: bool, eps_mach: float,
-                          solve_prec: str = "highest"):
+                          solve_prec: str = "highest",
+                          fwd_mm: str = "highest"):
     """Build the fused-march kernel with the config constants baked in.
 
     All physics/tolerance scalars are per-solver compile-time constants
@@ -68,6 +69,36 @@ def _march_kernel_factory(M: int, tau: float, c1: float, c2: float,
     sprec = (jax.lax.Precision.DEFAULT if solve_prec == "default"
              else jax.lax.Precision.HIGHEST)
 
+    def _make_mm(dt_, mode):
+        if mode != "bf16x3":
+            def mm(a, c):
+                return jnp.dot(a, c, preferred_element_type=dt_,
+                               precision=_PREC)
+            return mm
+
+        # bf16x3 emulation of the forward path's validated 'high'
+        # precision: Mosaic lowers only DEFAULT (1-pass bf16) and HIGHEST
+        # (6-pass) dot precisions, but three INDEPENDENT single-pass dots
+        # on the (hi, lo) bf16 split reproduce bf16_3x arithmetic and
+        # pipeline on the MXU where the 6 passes of HIGHEST serialize.
+        one_pass = jax.lax.Precision.DEFAULT   # the package-global default
+        # precision is 'highest', which a bf16 dot cannot lower ("Bad lhs
+        # type") — each split dot must be pinned to a single pass
+
+        def mm(a, c):
+            a16 = a.astype(jnp.bfloat16)
+            c16 = c.astype(jnp.bfloat16)
+            ar = (a - a16.astype(dt_)).astype(jnp.bfloat16)
+            cr = (c - c16.astype(dt_)).astype(jnp.bfloat16)
+            d0 = jnp.dot(a16, c16, preferred_element_type=dt_,
+                         precision=one_pass)
+            d1 = jnp.dot(ar, c16, preferred_element_type=dt_,
+                         precision=one_pass)
+            d2 = jnp.dot(a16, cr, preferred_element_type=dt_,
+                         precision=one_pass)
+            return d0 + (d1 + d2)
+        return mm
+
     def kernel(dts_ref, phi0_ref, u_n_ref, u_np1_ref, Lx_ref, LyT_ref,
                Vxi_ref, VyiT_ref, Vx_ref, VyT_ref, lam_ref, wts_ref,
                hist_ref, ns_ref, bad_ref,
@@ -83,9 +114,7 @@ def _march_kernel_factory(M: int, tau: float, c1: float, c2: float,
         lam = lam_ref[:]
         wts = wts_ref[:]
         dt_ = lam.dtype
-
-        def mm(a, c):
-            return jnp.dot(a, c, preferred_element_type=dt_, precision=_PREC)
+        mm = _make_mm(dt_, fwd_mm)
 
         def to_s(v):
             return mm(mm(Vxi, v), VyiT)
@@ -155,9 +184,14 @@ def _march_kernel_factory(M: int, tau: float, c1: float, c2: float,
             poly = inv_dt - tau_dt * lam + 0.5 * kappa * lam * lam
             denom = poly - dbar * lam
 
-            def mm_s(a, c):
-                return jnp.dot(a, c, preferred_element_type=dt_,
-                               precision=sprec)
+            if solve_prec == "default":
+                def mm_s(a, c):
+                    return jnp.dot(a, c, preferred_element_type=dt_,
+                                   precision=sprec)
+            elif solve_prec == "bf16x3":
+                mm_s = _make_mm(dt_, "bf16x3")
+            else:
+                mm_s = mm     # inherit the kernel-wide (highest | bf16x3)
 
             def apply_S(yh):
                 return poly * yh - lam * mm_s(mm_s(Vxi, d * mm_s(
@@ -336,7 +370,7 @@ def march_fused_2d(dts, phi0, u, Lx, LyT, Vx_inv, Vy_inv_T, Vx, VyT, lam, wts,
                    newton_tol: float, newton_rtol: float,
                    newton_max_iter: int, n_trips: int,
                    stagnation_exit: bool = True, interpret: bool = False,
-                   solve_prec: str = "highest"):
+                   solve_prec: str = "highest", fwd_mm: str = "highest"):
     """Run the full batched 2D forward march in one Pallas kernel.
 
     Args:
@@ -364,7 +398,7 @@ def march_fused_2d(dts, phi0, u, Lx, LyT, Vx_inv, Vy_inv_T, Vx, VyT, lam, wts,
         M, float(tau), float(c1), float(c2), float(kappa), float(gamma),
         float(delta_sep), float(area), float(newton_tol), float(newton_rtol),
         int(newton_max_iter), int(n_trips), bool(stagnation_exit), eps_mach,
-        solve_prec=solve_prec)
+        solve_prec=solve_prec, fwd_mm=fwd_mm)
 
     if _HAS_PLTPU:
         vmem = pl.BlockSpec(memory_space=pltpu.VMEM)
