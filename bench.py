@@ -11,7 +11,7 @@ scripts/ref_baseline_2d.py running the actual reference code): it processes
 1/pgd_iter_s_mean scenario-iterations per second (single scenario, its only
 mode). vs_baseline = ours / reference.
 
-Env overrides: VCH_BENCH_N (grid, default 64), VCH_BENCH_BATCH (default 256
+Env overrides: VCH_BENCH_N (grid, default 64), VCH_BENCH_BATCH (default 512
 — the fused whole-march kernel runs each member's own Newton trip counts, so
 single-chip throughput scales with batch to ~B=512 instead of peaking at the
 old lockstep B=32; see WEAK_SCALING.json tpu_batch_scaling), VCH_BENCH_ITERS
@@ -44,7 +44,7 @@ def main():
     # service (it caches by program hash server-side; the local
     # JAX_COMPILATION_CACHE_DIR is set for non-axon environments).
     N = int(os.environ.get("VCH_BENCH_N", "64"))
-    B = int(os.environ.get("VCH_BENCH_BATCH", "256"))
+    B = int(os.environ.get("VCH_BENCH_BATCH", "512"))
     iters = int(os.environ.get("VCH_BENCH_ITERS", "3"))
     on_tpu = jax.default_backend() != "cpu"
     dtype = os.environ.get("VCH_BENCH_DTYPE",
