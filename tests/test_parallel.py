@@ -236,3 +236,55 @@ def test_batched_2d_chunked_matches_full():
     np.testing.assert_array_equal(out_chunk["ls_trials"],
                                   out_full["ls_trials"])
     assert out_chunk["newton_solves"] == out_full["newton_solves"]
+
+
+def test_batched_2d_fused_sharded_matches_unsharded():
+    """Fused whole-march + whole-adjoint Pallas kernels under the scenario
+    mesh (shard_fused / shard_map): each of the 8 virtual devices runs its
+    own (B_local, M)-grid kernel on its batch shard, and the result must
+    match the unsharded fused run member-for-member (VERDICT round-2 #1:
+    the fast path must BE the multi-chip path)."""
+    cfg = ForwardSolverConfig2D(Nx=16, Ny=16, T=0.06, dtype="float32",
+                                newton_tol=2e-4,
+                                fused_krylov_fixed_iters=4,
+                                fused_solve_precision="highest")
+    mk = lambda: sweep_2d(cfg, b3_values=[1e-4, 2e-4, 3e-4, 4e-4],
+                          kappa_values=[1e-5, 1e-4])
+    plain = BatchedProblem2D(cfg, fused_march=True)
+    assert plain._use_fused_march and plain._fused_adjoint is not None
+    out_plain = plain.run(mk(), max_iter=2, verbose=False)
+    sharded = BatchedProblem2D(cfg, mesh=make_mesh(), fused_march=True)
+    assert sharded._use_fused_march and sharded._fused_adjoint is not None
+    out_mesh = sharded.run(mk(), max_iter=2, verbose=False)
+    # per-member kernel arithmetic is identical; the f32 noise comes from
+    # XLA reducing the vmapped prox/cost programs differently at batch
+    # shape 8 vs the per-shard shape 1
+    np.testing.assert_allclose(out_mesh["cost_history"],
+                               out_plain["cost_history"], rtol=1e-5)
+    np.testing.assert_allclose(out_mesh["u"], out_plain["u"], rtol=0,
+                               atol=1e-4)
+    np.testing.assert_array_equal(out_mesh["ls_trials"],
+                                  out_plain["ls_trials"])
+
+
+def test_batched_1d_fused_sharded_matches_unsharded():
+    """1D fused whole-march kernel under the scenario mesh: per-device
+    (time)-grid kernels on (B_local, n) blocks reproduce the unsharded
+    fused run. The 1D kernel's matmuls contract over the LOCAL batch
+    axis, so shape-dependent CPU reduction blocking can flip a member's
+    f32 Newton exit by one iteration (~newton_tol=2e-4 state change);
+    tolerances sized to that, costs still agree to 1e-5."""
+    cfg = ForwardSolverConfig1D(N=64, T=0.2, dtype="float32",
+                                newton_tol=2e-4, linsolve_1d="spectral")
+    mk = lambda: sweep_1d(cfg, OptimizationConfig(),
+                          b3_values=[1e-3, 2e-3, 3e-3, 4e-3],
+                          kappa_values=[1e-5, 1e-4])
+    plain = BatchedProblem1D(cfg, fused_march=True)
+    assert plain._use_fused_march
+    out_plain = plain.run(mk(), max_iter=2, verbose=False)
+    sharded = BatchedProblem1D(cfg, mesh=make_mesh(), fused_march=True)
+    out_mesh = sharded.run(mk(), max_iter=2, verbose=False)
+    np.testing.assert_allclose(out_mesh["cost_history"],
+                               out_plain["cost_history"], rtol=1e-5)
+    np.testing.assert_allclose(out_mesh["u"], out_plain["u"], rtol=0,
+                               atol=1e-3)
