@@ -72,6 +72,8 @@ def bench_config_2(iters: int, batch: int = 64):
     el = time.perf_counter() - t0
     return {"scenario_iters_per_s": batch * iters / el, "batch": batch,
             "iters": iters, "elapsed_s": el, "dtype": dt,
+            "newton_solves": int(out["newton_solves"]),
+            "timers": {k: round(v, 3) for k, v in out["timers"].items()},
             "mean_final_cost": float(out["cost_history"][-1].mean())}
 
 

@@ -199,3 +199,55 @@ def test_procedural_phi_Q_rejected_by_full_memory_problem():
     sc = sweep_2d(cfg, b3_values=[1e-4], materialize_phi_Q=False)
     with pytest.raises(ValueError, match="LowMemBatchedProblem2D"):
         BatchedProblem2D(cfg).run(sc, max_iter=1, verbose=False)
+
+
+def test_lowmem_fused_batched_matches_scan_lowmem():
+    """LowMemBatchedProblem2D(fused_march=True) runs every K-step segment
+    as ONE Pallas kernel (march_fused_2d_segment / adjoint_fused_2d_segment
+    with the state carry explicit) and must reproduce the composed-XLA
+    scan lowmem run: same checkpoints, same J1 accumulator, same adjoint
+    sweep. Trips/precision pinned so both paths run identical Krylov
+    arithmetic (f32 roundoff-level agreement)."""
+    from vch_tpu.parallel.batch import LowMemBatchedProblem2D, sweep_2d
+
+    cfg = ForwardSolverConfig2D(Nx=16, Ny=16, T=0.1, dt_initial=1e-2,
+                                dtype="float32", newton_tol=2e-4,
+                                fused_krylov_fixed_iters=4,
+                                fused_solve_precision="highest")
+    mk = lambda: sweep_2d(cfg, b3_values=[1e-4, 2e-4])
+    out_scan = LowMemBatchedProblem2D(cfg, K=4, fused_march=False).run(
+        mk(), max_iter=3, verbose=False)
+    low = LowMemBatchedProblem2D(cfg, K=4, fused_march=True)
+    assert low._use_fused_march
+    out_fused = low.run(mk(), max_iter=3, verbose=False)
+    np.testing.assert_allclose(out_fused["cost_history"],
+                               out_scan["cost_history"], rtol=2e-5)
+    np.testing.assert_allclose(out_fused["u"], out_scan["u"], rtol=0,
+                               atol=1e-4)
+
+
+def test_lowmem_fused_procedural_phi_Q_under_mesh():
+    """The config-5 multi-chip story end-to-end: fused segment kernels +
+    procedural (memory-free) tracking target + the scenario mesh. The
+    sharded fused lowmem run must match the unsharded fused lowmem run
+    (shard_fused handles the None phi_Q and the LowMemState pytree)."""
+    from vch_tpu.parallel.batch import LowMemBatchedProblem2D, sweep_2d
+    from vch_tpu.parallel.mesh import make_mesh
+
+    cfg = ForwardSolverConfig2D(Nx=16, Ny=16, T=0.08, dt_initial=1e-2,
+                                dtype="float32", newton_tol=2e-4,
+                                fused_krylov_fixed_iters=4,
+                                fused_solve_precision="highest")
+    mk = lambda: sweep_2d(cfg, b3_values=[1e-4, 2e-4, 3e-4, 4e-4],
+                          kappa_values=[1e-5, 1e-4],
+                          materialize_phi_Q=False)
+    assert mk().phi_Q is None
+    out_plain = LowMemBatchedProblem2D(cfg, K=3, fused_march=True).run(
+        mk(), max_iter=2, verbose=False)
+    out_mesh = LowMemBatchedProblem2D(cfg, K=3, fused_march=True,
+                                      mesh=make_mesh()).run(
+        mk(), max_iter=2, verbose=False)
+    np.testing.assert_allclose(out_mesh["cost_history"],
+                               out_plain["cost_history"], rtol=1e-5)
+    np.testing.assert_allclose(out_mesh["u"], out_plain["u"], rtol=0,
+                               atol=1e-4)

@@ -50,7 +50,8 @@ def _march_kernel_factory(M: int, tau: float, c1: float, c2: float,
                           newton_max_iter: int, n_trips: int,
                           stagnation_exit: bool, eps_mach: float,
                           solve_prec: str = "highest",
-                          fwd_mm: str = "highest"):
+                          fwd_mm: str = "highest",
+                          segment: bool = False):
     """Build the fused-march kernel with the config constants baked in.
 
     All physics/tolerance scalars are per-solver compile-time constants
@@ -99,10 +100,22 @@ def _march_kernel_factory(M: int, tau: float, c1: float, c2: float,
             return d0 + (d1 + d2)
         return mm
 
-    def kernel(dts_ref, phi0_ref, u_n_ref, u_np1_ref, Lx_ref, LyT_ref,
-               Vxi_ref, VyiT_ref, Vx_ref, VyT_ref, lam_ref, wts_ref,
-               hist_ref, ns_ref, bad_ref,
-               phi_s, mu_s, w_s, m0_s):
+    def kernel(*refs):
+        # segment=True adds (mu0, w0, m0) carry INPUTS and (phi_f, mu_f,
+        # w_f) final-state OUTPUTS so the lowmem pipeline can chain
+        # K-step fused marches across checkpoints (models/lowmem.py);
+        # segment=False initializes (mu, w, m0) from phi0 internally.
+        if segment:
+            (dts_ref, phi0_ref, mu0_ref, w0_ref, m00_ref,
+             u_n_ref, u_np1_ref, Lx_ref, LyT_ref,
+             Vxi_ref, VyiT_ref, Vx_ref, VyT_ref, lam_ref, wts_ref,
+             hist_ref, ns_ref, bad_ref, phif_ref, muf_ref, wf_ref,
+             phi_s, mu_s, w_s, m0_s) = refs
+        else:
+            (dts_ref, phi0_ref, u_n_ref, u_np1_ref, Lx_ref, LyT_ref,
+             Vxi_ref, VyiT_ref, Vx_ref, VyT_ref, lam_ref, wts_ref,
+             hist_ref, ns_ref, bad_ref,
+             phi_s, mu_s, w_s, m0_s) = refs
         b = pl.program_id(0)
         m = pl.program_id(1)
         Lx = Lx_ref[:]
@@ -136,11 +149,16 @@ def _march_kernel_factory(M: int, tau: float, c1: float, c2: float,
         def _():
             phi0 = phi0_ref[0]
             phi_s[0] = phi0
-            w_s[0] = jnp.zeros_like(phi0)
-            # mu0 = -kappa lap(phi0) + f'(phi0) - w0
-            mu_s[0] = (-kappa * lap(phi0)
-                       + c1 * f_log(phi0) - 2.0 * c2 * phi0)
-            m0_s[0] = jnp.sum(wts * phi0)
+            if segment:
+                mu_s[0] = mu0_ref[0]
+                w_s[0] = w0_ref[0]
+                m0_s[0] = m00_ref[b]
+            else:
+                w_s[0] = jnp.zeros_like(phi0)
+                # mu0 = -kappa lap(phi0) + f'(phi0) - w0
+                mu_s[0] = (-kappa * lap(phi0)
+                           + c1 * f_log(phi0) - 2.0 * c2 * phi0)
+                m0_s[0] = jnp.sum(wts * phi0)
             ns_ref[b, 0] = jnp.int32(0)
             bad_ref[b, 0] = jnp.int32(-1)
 
@@ -356,6 +374,12 @@ def _march_kernel_factory(M: int, tau: float, c1: float, c2: float,
         w_s[0] = w_new
         hist_ref[0, 0] = phi_c
         ns_ref[b, 0] = ns_ref[b, 0] + k_n
+        if segment:
+            # final-state outputs: the block index is constant per member,
+            # so the last grid step's write is the one that lands in HBM
+            phif_ref[0] = phi_c
+            muf_ref[0] = mu_new
+            wf_ref[0] = w_new
 
         @pl.when(is_bad & (bad_ref[b, 0] < 0))
         def _():
@@ -450,8 +474,97 @@ def march_fused_2d(dts, phi0, u, Lx, LyT, Vx_inv, Vy_inv_T, Vx, VyT, lam, wts,
     return phi_hist, ns[:, 0], bad[:, 0]
 
 
+def march_fused_2d_segment(dts, phi0, mu0, w0, m0, u, Lx, LyT, Vx_inv,
+                           Vy_inv_T, Vx, VyT, lam, wts,
+                           tau: float, c1: float, c2: float, kappa: float,
+                           gamma: float, delta_sep: float, area: float,
+                           newton_tol: float, newton_rtol: float,
+                           newton_max_iter: int, n_trips: int,
+                           stagnation_exit: bool = True,
+                           interpret: bool = False,
+                           solve_prec: str = "highest",
+                           fwd_mm: str = "highest"):
+    """One K-step SEGMENT of the fused 2D march, with the (phi, mu, w)
+    state carried explicitly so the lowmem pipeline (models/lowmem.py) can
+    chain segments across checkpoints: mu0/w0 are the segment-start values
+    and m0 is the GLOBAL initial mass (the mass correction always targets
+    the trajectory's t=0 mass, not the segment's).
+
+    Args: dts (K,), phi0/mu0/w0 (B, n, m), m0 (B,), u (B, K+1, n, m).
+    Returns (hist (B, K, n, m) — the K post-step states, NOT including
+    phi0 — phi_f, mu_f, w_f (B, n, m), nsolve (B,), first_bad (B,)).
+    """
+    B, n, m = phi0.shape
+    K = u.shape[1] - 1
+    assert dts.shape == (K,), (dts.shape, K)
+    dtype = phi0.dtype
+    eps_mach = 2.2e-16 if dtype == jnp.float64 else 1.2e-7
+
+    kernel = _march_kernel_factory(
+        K, float(tau), float(c1), float(c2), float(kappa), float(gamma),
+        float(delta_sep), float(area), float(newton_tol), float(newton_rtol),
+        int(newton_max_iter), int(n_trips), bool(stagnation_exit), eps_mach,
+        solve_prec=solve_prec, fwd_mm=fwd_mm, segment=True)
+
+    if _HAS_PLTPU:
+        vmem = pl.BlockSpec(memory_space=pltpu.VMEM)
+        smem = pl.BlockSpec(memory_space=pltpu.SMEM)
+        vspec = lambda shape, idx: pl.BlockSpec(shape, idx,
+                                                memory_space=pltpu.VMEM)
+        scratch = [pltpu.VMEM((1, n, m), dtype)] * 3 + [
+            pltpu.SMEM((1,), dtype)]
+        params = {} if interpret else {
+            "compiler_params": pltpu.CompilerParams(
+                dimension_semantics=("arbitrary", "arbitrary"),
+                vmem_limit_bytes=100 * 2**20)}
+    else:  # pragma: no cover - CPU interpret-only fallback
+        vmem = pl.BlockSpec()
+        smem = pl.BlockSpec()
+        vspec = lambda shape, idx: pl.BlockSpec(shape, idx)
+        scratch = []
+        params = {}
+
+    per_b = vspec((1, n, m), lambda b, t: (b, 0, 0))
+    hist, ns, bad, phi_f, mu_f, w_f = pl.pallas_call(
+        kernel,
+        grid=(B, K),
+        in_specs=[
+            smem,                                           # dts (K,)
+            per_b, per_b, per_b,                            # phi0, mu0, w0
+            smem,                                           # m0 (B,)
+            vspec((1, 1, n, m), lambda b, t: (b, t, 0, 0)),     # u_n
+            vspec((1, 1, n, m), lambda b, t: (b, t + 1, 0, 0)),  # u_np1
+            vmem, vmem,                                      # Lx, LyT
+            vmem, vmem, vmem, vmem,                          # transforms
+            vmem,                                            # lam
+            vmem,                                            # wts
+        ],
+        out_specs=(
+            vspec((1, 1, n, m), lambda b, t: (b, t, 0, 0)),  # phi frames
+            smem,                                            # nsolve (B,1)
+            smem,                                            # first_bad
+            per_b, per_b, per_b,                             # finals
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((B, K, n, m), dtype),
+            jax.ShapeDtypeStruct((B, 1), jnp.int32),
+            jax.ShapeDtypeStruct((B, 1), jnp.int32),
+            jax.ShapeDtypeStruct((B, n, m), dtype),
+            jax.ShapeDtypeStruct((B, n, m), dtype),
+            jax.ShapeDtypeStruct((B, n, m), dtype),
+        ),
+        scratch_shapes=scratch,
+        interpret=interpret,
+        **params,
+    )(dts, phi0, mu0, w0, m0, u, u, Lx, LyT, Vx_inv, Vy_inv_T, Vx, VyT,
+      lam, wts)
+
+    return hist, phi_f, mu_f, w_f, ns[:, 0], bad[:, 0]
+
+
 def _adjoint_kernel_factory(M: int, tau: float, gamma: float, c1: float,
-                            c2: float, n_trips: int, eps_mach: float):
+                            c2: float, n_trips: int, eps_mach: float,
+                            carry_in: bool = False):
     """Fused backward (p, q, r) sweep: models/adjoint2d.py `_run_impl`
     walked in one kernel, reverse time index n = M-1-t.
 
@@ -464,11 +577,23 @@ def _adjoint_kernel_factory(M: int, tau: float, gamma: float, c1: float,
     """
     fpp_eps = 1e-8
 
-    def kernel(dts_ref, b1_ref, b2_ref, phi_n_ref, phi_np1_ref, phiQ_n_ref,
-               phiQ_np1_ref, phiT_ref, Lx_ref, LyT_ref, Vxi_ref, VyiT_ref,
-               Vx_ref, VyT_ref, lam_ref,
-               r_out_ref,
-               p_s, q_s, r_s):
+    def kernel(*refs):
+        # carry_in=True replaces the terminal solve with explicit
+        # (p0, q0, r0) carry INPUTS and adds (p_f, q_f, r_f) final
+        # OUTPUTS, so the lowmem pipeline can chain segment sweeps
+        # backward across checkpoints (models/lowmem.py).
+        if carry_in:
+            (dts_ref, b1_ref, phi_n_ref, phi_np1_ref, phiQ_n_ref,
+             phiQ_np1_ref, p0_ref, q0_ref, r0_ref, Lx_ref, LyT_ref,
+             Vxi_ref, VyiT_ref, Vx_ref, VyT_ref, lam_ref,
+             r_out_ref, pf_ref, qf_ref, rf_ref,
+             p_s, q_s, r_s) = refs
+        else:
+            (dts_ref, b1_ref, b2_ref, phi_n_ref, phi_np1_ref, phiQ_n_ref,
+             phiQ_np1_ref, phiT_ref, Lx_ref, LyT_ref, Vxi_ref, VyiT_ref,
+             Vx_ref, VyT_ref, lam_ref,
+             r_out_ref,
+             p_s, q_s, r_s) = refs
         b = pl.program_id(0)
         t = pl.program_id(1)
         n = M - 1 - t                      # reverse time index
@@ -481,7 +606,6 @@ def _adjoint_kernel_factory(M: int, tau: float, gamma: float, c1: float,
         lam = lam_ref[:]
         dt_ = lam.dtype
         b1 = b1_ref[b]
-        b2 = b2_ref[b]
 
         def mm(a, c):
             return jnp.dot(a, c, preferred_element_type=dt_, precision=_PREC)
@@ -503,13 +627,18 @@ def _adjoint_kernel_factory(M: int, tau: float, gamma: float, c1: float,
 
         @pl.when(t == 0)
         def _():
-            # terminal: (I - tau L) p_T = b2 (phi(T) - phi_Omega), exact in
-            # the cosine basis; q_T = -L p_T; r_T = 0
-            rhs_T = b2 * (phi_np1 - phiT_ref[0])
-            p_T = from_s(to_s(rhs_T) / (1.0 - tau * lam))
-            p_s[0] = p_T
-            q_s[0] = -lap(p_T)
-            r_s[0] = jnp.zeros_like(p_T)
+            if carry_in:
+                p_s[0] = p0_ref[0]
+                q_s[0] = q0_ref[0]
+                r_s[0] = r0_ref[0]
+            else:
+                # terminal: (I - tau L) p_T = b2 (phi(T) - phi_Omega),
+                # exact in the cosine basis; q_T = -L p_T; r_T = 0
+                rhs_T = b2_ref[b] * (phi_np1 - phiT_ref[0])
+                p_T = from_s(to_s(rhs_T) / (1.0 - tau * lam))
+                p_s[0] = p_T
+                q_s[0] = -lap(p_T)
+                r_s[0] = jnp.zeros_like(p_T)
 
         p_next = p_s[0]
         q_next = q_s[0]
@@ -591,6 +720,11 @@ def _adjoint_kernel_factory(M: int, tau: float, gamma: float, c1: float,
         q_s[0] = q_n
         r_s[0] = r_n
         r_out_ref[0, 0] = r_n
+        if carry_in:
+            # constant block index per member: last grid step's write lands
+            pf_ref[0] = p_n
+            qf_ref[0] = q_n
+            rf_ref[0] = r_n
 
     return kernel
 
@@ -659,6 +793,79 @@ def adjoint_fused_2d(dts, phi_hist, phi_Q, phi_T, b1, b2,
 
     r_T = jnp.zeros((B, 1, n, m), dtype)
     return jnp.concatenate([r_rev, r_T], axis=1)
+
+
+def adjoint_fused_2d_segment(dts, phi_seg, phi_Q_seg, p0, q0, r0, b1,
+                             Lx, LyT, Vx_inv, Vy_inv_T, Vx, VyT, lam,
+                             tau: float, gamma: float, c1: float, c2: float,
+                             n_trips: int, interpret: bool = False):
+    """One K-step SEGMENT of the fused backward sweep with the (p, q, r)
+    carry explicit, for the lowmem recompute-and-sweep pipeline
+    (models/lowmem.py): p0/q0/r0 are the adjoint state at the segment's
+    LAST time level (already computed by the later segment or the terminal
+    solve), phi_seg/phi_Q_seg are the segment's K+1 state/target frames.
+
+    Returns (r (B, K, n, m) — levels start..start+K-1 in forward order —
+    p_f, q_f, r_f (B, n, m) at the segment's first level).
+    """
+    B, n, m = p0.shape
+    K = phi_seg.shape[1] - 1
+    assert dts.shape == (K,), (dts.shape, K)
+    dtype = p0.dtype
+    eps_mach = 2.2e-16 if dtype == jnp.float64 else 1.2e-7
+
+    kernel = _adjoint_kernel_factory(K, float(tau), float(gamma), float(c1),
+                                     float(c2), int(n_trips), eps_mach,
+                                     carry_in=True)
+
+    if _HAS_PLTPU:
+        vmem = pl.BlockSpec(memory_space=pltpu.VMEM)
+        smem = pl.BlockSpec(memory_space=pltpu.SMEM)
+        vspec = lambda shape, idx: pl.BlockSpec(shape, idx,
+                                                memory_space=pltpu.VMEM)
+        scratch = [pltpu.VMEM((1, n, m), dtype)] * 3
+        params = {} if interpret else {
+            "compiler_params": pltpu.CompilerParams(
+                dimension_semantics=("arbitrary", "arbitrary"),
+                vmem_limit_bytes=100 * 2**20)}
+    else:  # pragma: no cover
+        vmem = pl.BlockSpec()
+        smem = pl.BlockSpec()
+        vspec = lambda shape, idx: pl.BlockSpec(shape, idx)
+        scratch = []
+        params = {}
+
+    rev = lambda b, t: (b, K - 1 - t, 0, 0)
+    rev1 = lambda b, t: (b, K - t, 0, 0)
+    per_b = vspec((1, n, m), lambda b, t: (b, 0, 0))
+    r_rev, p_f, q_f, r_f = pl.pallas_call(
+        kernel,
+        grid=(B, K),
+        in_specs=[
+            smem, smem,                                # dts, b1
+            vspec((1, 1, n, m), rev),                  # phi_n
+            vspec((1, 1, n, m), rev1),                 # phi_{n+1}
+            vspec((1, 1, n, m), rev),                  # phi_Q_n
+            vspec((1, 1, n, m), rev1),                 # phi_Q_{n+1}
+            per_b, per_b, per_b,                       # p0, q0, r0
+            vmem, vmem,                                # Lx, LyT
+            vmem, vmem, vmem, vmem,                    # transforms
+            vmem,                                      # lam
+        ],
+        out_specs=(vspec((1, 1, n, m), rev), per_b, per_b, per_b),
+        out_shape=(
+            jax.ShapeDtypeStruct((B, K, n, m), dtype),
+            jax.ShapeDtypeStruct((B, n, m), dtype),
+            jax.ShapeDtypeStruct((B, n, m), dtype),
+            jax.ShapeDtypeStruct((B, n, m), dtype),
+        ),
+        scratch_shapes=scratch,
+        interpret=interpret,
+        **params,
+    )(dts, b1, phi_seg, phi_seg, phi_Q_seg, phi_Q_seg, p0, q0, r0,
+      Lx, LyT, Vx_inv, Vy_inv_T, Vx, VyT, lam)
+
+    return r_rev, p_f, q_f, r_f
 
 
 # ---------------------------------------------------------------------------

@@ -44,17 +44,21 @@ def shard_fused(fn, mesh, n_in: int, n_out: int):
     so the single-chip fused-march throughput carries to the mesh
     unchanged (VERDICT round-2 missing #1; ref role Forward2_solver.py:370
     at pod scale). Every positional arg/output must have a leading batch
-    axis. Falls back to the plain single-program call when the batch does
-    not divide the mesh (run() leaves such batches unsharded)."""
+    axis, or be None (e.g. a procedural phi_Q); pytree args/outputs
+    (LowMemState) take the spec as a prefix over every leaf. Falls back
+    to the plain single-program call when the batch does not divide the
+    mesh (run() leaves such batches unsharded)."""
     from jax.sharding import PartitionSpec as P
     spec = P(BATCH_AXIS)
     out_specs = spec if n_out == 1 else (spec,) * n_out
-    sharded = jax.shard_map(fn, mesh=mesh, in_specs=(spec,) * n_in,
-                            out_specs=out_specs, check_vma=False)
 
     def call(*args):
+        assert len(args) == n_in, (len(args), n_in)
         if args[0].shape[0] % mesh.devices.size == 0:
-            return sharded(*args)
+            in_specs = tuple(None if a is None else spec for a in args)
+            return jax.shard_map(fn, mesh=mesh, in_specs=in_specs,
+                                 out_specs=out_specs,
+                                 check_vma=False)(*args)
         return fn(*args)
 
     return call
@@ -251,9 +255,12 @@ class _BatchedPGDBase:
 
         # Whole-batch fused forward (the 2D fused-march Pallas kernel,
         # ops/pallas_march.py): set by a subclass as self._fused_forward
-        # (u, phi0) -> (phi_hist, newton_solves (B,)). It replaces
-        # vmap(forward) inside the trial — prox and cost stay vmapped
-        # elementwise/reduction programs around the single kernel call.
+        # (u, phi0, phi_Q, phi_T) -> (phi_or_state, newton_solves (B,)).
+        # It replaces vmap(forward) inside the trial — prox and cost stay
+        # vmapped elementwise/reduction programs around the single kernel
+        # call. phi_Q/phi_T are unused by the trajectory problems but the
+        # lowmem pipeline accumulates its J1 tracking integral during the
+        # forward pass and needs them.
         fused = getattr(self, "_fused_forward", None)
 
         def _trial_fused(u, r, alpha, phi0, phi_Q, phi_T, b1, b2, b3, ks):
@@ -262,7 +269,7 @@ class _BatchedPGDBase:
                 return proximal_step(u_i, grad, a_i, ks_i,
                                      self.u_min, self.u_max)
             u_t = jax.vmap(prox_one)(u, r, alpha, b3, ks)
-            phi_t, nsolve = fused(u_t, phi0)
+            phi_t, nsolve = fused(u_t, phi0, phi_Q, phi_T)
             c_t = jax.vmap(self._cost)(phi_t, u_t, phi_Q, phi_T, b1, b2,
                                        b3, ks)
             return u_t, phi_t, c_t, nsolve
@@ -287,20 +294,22 @@ class _BatchedPGDBase:
             return jax.tree_util.tree_map(upd, res, out_sub)
 
         if fused is not None:
-            self._forward_v = _chunked(self._maybe_shard(
-                lambda u, p0, pQ, pT: fused(u, p0)))
+            self._forward_v = _chunked(self._maybe_shard(fused))
         else:
             self._forward_v = None  # assigned below (vmap form)
 
         self._gather_v = jax.jit(_gather)
         self._scatter_v = jax.jit(_scatter, donate_argnums=(0,)) \
             if jax.default_backend() == "tpu" else jax.jit(_scatter)
-        # donate both merge operands on TPU: after the masked select neither
-        # the trial outputs nor the previous selection are referenced again,
-        # and each is a full (u, state/trajectory, cost) set — reusing the
-        # buffers trims ~2 control-shaped arrays off the search's peak HBM
-        # (donation is unimplemented on the CPU backend and would just warn)
-        self._merge_v = (jax.jit(_merge, donate_argnums=(1, 2))
+        # donate the PREVIOUS selection on TPU: after the masked select it
+        # is never referenced again, so each merge output aliases its old
+        # buffer — one full (u, trajectory, cost) set shaved off the
+        # search's peak HBM. (Donating the trial outputs TOO was a bug:
+        # a single output can alias only one input, so the second donated
+        # trajectory buffer was provably unusable and warned at exactly
+        # the headline shape — VERDICT round-2 weak #3. Donation is
+        # unimplemented on the CPU backend and would just warn.)
+        self._merge_v = (jax.jit(_merge, donate_argnums=(2,))
                          if jax.default_backend() == "tpu" else jax.jit(_merge))
         self._change_v = jax.jit(_change)
         if self._forward_v is None:
@@ -837,7 +846,7 @@ class BatchedProblem1D(_BatchedPGDBase):
             interp = jax.default_backend() != "tpu"
             solver = self.solver
 
-            def _fused_local(u_ref, phi0):
+            def _fused_local(u_ref, phi0, phi_Q=None, phi_T=None):
                 B = phi0.shape[0]
                 if not solver.fused_march_available(B):
                     # static-shape fallback: vmapped scan (per trace)
@@ -850,7 +859,7 @@ class BatchedProblem1D(_BatchedPGDBase):
                 # reference layout: duplicated t=0 history row
                 return jnp.concatenate([phi[:, :1], phi], axis=1), ns
 
-            self._fused_forward = (shard_fused(_fused_local, mesh, 2, 2)
+            self._fused_forward = (shard_fused(_fused_local, mesh, 4, 2)
                                    if mesh is not None else _fused_local)
         super().__init__(settings or PGDSettings.defaults_1d(), alpha_max,
                          mesh, use_mesh, straggler_batch=straggler_batch,
@@ -936,12 +945,12 @@ class BatchedProblem2D(_BatchedPGDBase):
         if self._use_fused_march:
             interp = jax.default_backend() != "tpu"
 
-            def _fused_local(u, phi0):
+            def _fused_local(u, phi0, phi_Q=None, phi_T=None):
                 phi_hist, ns, _bad = self.solver.march_fused_batch(
                     u, phi0, interpret=interp)
                 return phi_hist, ns
 
-            self._fused_forward = (shard_fused(_fused_local, mesh, 2, 2)
+            self._fused_forward = (shard_fused(_fused_local, mesh, 4, 2)
                                    if mesh is not None else _fused_local)
             if self.adj.fused_march_available():
                 def _fused_adj_local(u, phi, b1, b2, phi_Q, phi_T):
@@ -1018,8 +1027,9 @@ class LowMemBatchedProblem2D(_BatchedPGDBase):
     def __init__(self, fwd_config: Optional[ForwardSolverConfig2D] = None,
                  K: int = 10, settings: Optional[PGDSettings] = None,
                  alpha_max: float = 50.0, mesh=None, use_mesh: bool = False,
-                 straggler_batch=None, speculative=None, chunk_size=None):
-        from vch_tpu.models.lowmem import LowMemPipeline2D
+                 straggler_batch=None, speculative=None, chunk_size=None,
+                 fused_march: Optional[bool] = None):
+        from vch_tpu.models.lowmem import FusedLowMemBatch2D, LowMemPipeline2D
         self.fwd_config = fwd_config or ForwardSolverConfig2D()
         self.pipe = LowMemPipeline2D(self.fwd_config, K=K)
         self.solver = self.pipe.solver
@@ -1027,6 +1037,34 @@ class LowMemBatchedProblem2D(_BatchedPGDBase):
         M = self.solver.M
         self._control_shape = (M + 1, self.fwd_config.Nx + 1,
                                self.fwd_config.Ny + 1)
+        # Fused segment kernels (models/lowmem.FusedLowMemBatch2D): each
+        # K-step segment runs as one (B, K)-grid Pallas kernel, so the
+        # memory-bounded path keeps the fused path's throughput. Same
+        # auto rule + mesh treatment as BatchedProblem2D.
+        mesh = mesh if mesh is not None else (make_mesh() if use_mesh
+                                              else None)
+        self._use_fused_march = (
+            fused_march if fused_march is not None
+            else (jax.default_backend() == "tpu"
+                  and self.solver.fused_march_available()
+                  and self.pipe.adjoint.fused_march_available()))
+        if self._use_fused_march:
+            interp = jax.default_backend() != "tpu"
+            fb = FusedLowMemBatch2D(self.pipe, interpret=interp)
+            self._fused_batch = fb
+
+            def _fused_fwd_local(u, phi0, phi_Q, phi_T):
+                return fb.forward(u, phi0, phi_Q, phi_T)
+
+            def _fused_adj_local(u, state, b1, b2, phi_Q, phi_T):
+                return fb.adjoint_r(state, u, phi_Q, b1, b2, phi_T)
+
+            self._fused_forward = (
+                shard_fused(_fused_fwd_local, mesh, 4, 2)
+                if mesh is not None else _fused_fwd_local)
+            self._fused_adjoint = (
+                shard_fused(_fused_adj_local, mesh, 6, 1)
+                if mesh is not None else _fused_adj_local)
         super().__init__(settings or PGDSettings.defaults_2d(), alpha_max,
                          mesh, use_mesh, straggler_batch=straggler_batch,
                          speculative=speculative, chunk_size=chunk_size)
