@@ -144,6 +144,19 @@ def main():
                     newton_solves=int(out["newton_solves"]))
     print(f"[bench] {counters.summary()}", file=sys.stderr)
     print(f"[bench] timers {out['timers']}", file=sys.stderr)
+    # XLA buffer-assignment memory accounting of the trial program (the
+    # run's peak-memory program); axon's runtime memory_stats() is
+    # unimplemented, so this is the measured envelope.
+    try:
+        pm = prob.trial_memory_analysis(sc)
+        if pm:
+            print(f"[bench] trial program memory: "
+                  f"peak {pm['peak_memory_in_bytes']/2**30:.2f} GiB "
+                  f"(args {pm['argument_size_in_bytes']/2**30:.2f}, "
+                  f"temp {pm['temp_size_in_bytes']/2**30:.2f})",
+                  file=sys.stderr)
+    except Exception as e:  # never fail the metric on accounting
+        print(f"[bench] memory analysis unavailable: {e}", file=sys.stderr)
 
     baseline = None
     try:

@@ -157,6 +157,9 @@ def bench_config_4(iters: int, batch: int = 64, lowmem: bool = False,
     el = time.perf_counter() - t0
     import jax
     mem = jax.local_devices()[0].memory_stats() or {}
+    # XLA buffer-assignment accounting of the peak-memory program (axon
+    # memory_stats() is unimplemented; this is the measured envelope)
+    prog_mem = prob.trial_memory_analysis(sc)
     return {"scenario_iters_per_s": round(batch * iters / el, 4),
             "batch": batch, "grid": "128x128", "iters": iters,
             "lowmem": lowmem, "krylov_trips": trips or cfg.krylov_fixed_iters,
@@ -167,7 +170,8 @@ def bench_config_4(iters: int, batch: int = 64, lowmem: bool = False,
             "mean_final_cost": float(out["cost_history"][-1].mean()),
             "descend_frac": float((out["cost_history"][-1]
                                    < out["cost_history"][0] + 1e-9).mean()),
-            "peak_bytes_in_use": mem.get("peak_bytes_in_use")}
+            "peak_bytes_in_use": mem.get("peak_bytes_in_use"),
+            "trial_program_memory": prog_mem}
 
 
 def bench_config_5(iters: int, batch: int = 8, K: int = 10):
@@ -194,6 +198,7 @@ def bench_config_5(iters: int, batch: int = 8, K: int = 10):
     el = time.perf_counter() - t0
     import jax
     mem = jax.local_devices()[0].memory_stats() or {}
+    prog_mem = prob.trial_memory_analysis(sc)
     return {"scenario_iters_per_s": round(batch * iters / el, 4),
             "batch": batch, "grid": "256x256", "lowmem_K": K,
             "iters": iters, "elapsed_s": round(el, 2), "dtype": dt,
@@ -202,7 +207,8 @@ def bench_config_5(iters: int, batch: int = 8, K: int = 10):
             "mean_final_cost": float(out["cost_history"][-1].mean()),
             "descend_frac": float((out["cost_history"][-1]
                                    < out["cost_history"][0] + 1e-9).mean()),
-            "peak_bytes_in_use": mem.get("peak_bytes_in_use")}
+            "peak_bytes_in_use": mem.get("peak_bytes_in_use"),
+            "trial_program_memory": prog_mem}
 
 
 def main():

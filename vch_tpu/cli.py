@@ -204,6 +204,19 @@ def cmd_optimize2d(args):
         fwd = ForwardSolverConfig2D(dtype=dtype, Nx=args.n, Ny=args.n,
                                     T=args.T)
         opt = OptimizationConfig.defaults_2d()
+    if getattr(args, "grid_shard", False):
+        # grid sharding: the field's x-axis spans all devices (config-5
+        # scales where ONE member's working set outgrows a chip) —
+        # parallel/spatial.GridShardedProblem2D, full PGD under the mesh
+        from vch_tpu.parallel.spatial import GridShardedProblem2D
+        gprob = GridShardedProblem2D(fwd, opt, choice_t=args.target,
+                                     choice_q=args.tracking)
+        res = gprob.optimize(max_iter=args.max_iter)
+        print(f"grid-sharded over {gprob.fwd.mesh.devices.size} devices; "
+              f"baseline Newton solves {gprob.newton_solves}")
+        _post_optimize(args, gprob, res, gprob.x, gprob.phi_T_target,
+                       one_d=False)
+        return 0
     from vch_tpu.control.problems import ControlProblem2D
     prob = ControlProblem2D(fwd, opt, choice_t=args.target,
                             choice_q=args.tracking)
@@ -306,6 +319,9 @@ def main(argv=None):
     _add_common(p)
     p.add_argument("--n", type=int, default=128)
     p.add_argument("--T", type=float, default=1.0)
+    p.add_argument("--grid-shard", action="store_true",
+                   help="shard the grid's x-axis over all devices "
+                        "(for grids where one scenario outgrows a chip)")
     p.set_defaults(fn=cmd_optimize2d)
 
     p = sub.add_parser("sweep2d", help="batched (b3, kappa) sweep over a mesh")

@@ -134,7 +134,8 @@ def bicgstab(apply_A: Callable, b: jnp.ndarray, apply_M: Callable,
 
 
 def bicgstab_fixed(apply_A: Callable, b: jnp.ndarray, apply_M: Callable,
-                   n_iter: int, x0: jnp.ndarray | None = None):
+                   n_iter: int, x0: jnp.ndarray | None = None,
+                   dot_fn: Callable | None = None):
     """Fixed-trip-count BiCGStab (fori_loop, no convergence predicate).
 
     The TPU execution path: a constant number of Krylov iterations compiles
@@ -149,7 +150,7 @@ def bicgstab_fixed(apply_A: Callable, b: jnp.ndarray, apply_M: Callable,
     x = jnp.zeros_like(b) if x0 is None else x0
     r = b - apply_A(x)
     rhat = r
-    dot = lambda a, c: jnp.sum(a * c)
+    dot = dot_fn or (lambda a, c: jnp.sum(a * c))
     eps_div = jnp.asarray(1e-300 if dtype == jnp.float64 else 1e-30, dtype)
     one = jnp.asarray(1.0, dtype)
     # Freeze threshold: once ||r|| reaches the dtype noise floor relative to
@@ -196,7 +197,8 @@ def bicgstab_fixed(apply_A: Callable, b: jnp.ndarray, apply_M: Callable,
 
 def bicgstab_split(apply_A: Callable, b: jnp.ndarray, apply_Phalf: Callable,
                    apply_Phalf_inv: Callable, tol: float, max_iter: int,
-                   x0: jnp.ndarray | None = None):
+                   x0: jnp.ndarray | None = None,
+                   dot_fn: Callable | None = None):
     """BiCGStab on the SPLIT-preconditioned system P^-1/2 A P^-1/2.
 
     Right preconditioning leaves Krylov residuals in the RAW system's metric;
@@ -218,13 +220,14 @@ def bicgstab_split(apply_A: Callable, b: jnp.ndarray, apply_Phalf: Callable,
         return apply_Phalf(apply_A(apply_Phalf(v)))
 
     y = bicgstab(apply_At, bt, lambda v: v, tol=tol, max_iter=max_iter,
-                 x0=y0)
+                 x0=y0, dot_fn=dot_fn)
     return apply_Phalf(y)
 
 
 def bicgstab_split_fixed(apply_A: Callable, b: jnp.ndarray,
                          apply_Phalf: Callable, apply_Phalf_inv: Callable,
-                         n_iter: int, x0: jnp.ndarray | None = None):
+                         n_iter: int, x0: jnp.ndarray | None = None,
+                         dot_fn: Callable | None = None):
     """Fixed-trip-count variant of bicgstab_split (see both docstrings).
 
     The composed-XLA analog of pallas_kernels.bicgstab_adjoint_pallas: same
@@ -237,7 +240,8 @@ def bicgstab_split_fixed(apply_A: Callable, b: jnp.ndarray,
     def apply_At(v):
         return apply_Phalf(apply_A(apply_Phalf(v)))
 
-    y = bicgstab_fixed(apply_At, bt, lambda v: v, n_iter=n_iter, x0=y0)
+    y = bicgstab_fixed(apply_At, bt, lambda v: v, n_iter=n_iter, x0=y0,
+                       dot_fn=dot_fn)
     return apply_Phalf(y)
 
 

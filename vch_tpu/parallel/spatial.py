@@ -44,7 +44,8 @@ from vch_tpu.models.forward1d import solve_w
 from vch_tpu.models.timegrid import build_dt_schedule, t_history
 from vch_tpu.ops.grids import trapz_weights
 from vch_tpu.ops.laplacian import neumann_eigendecomposition
-from vch_tpu.ops.linsolve import bicgstab
+from vch_tpu.ops.linsolve import (bicgstab, bicgstab_split,
+                                  bicgstab_split_fixed)
 from vch_tpu.ops.potential import f_prime, regularized_log
 
 
@@ -137,11 +138,14 @@ class GridShardedForward2D:
         sh_x = P(axis, None)          # row-sharded fields / x-matrices
         sh_t = P(None, axis, None)    # time-major control/history
         rep = P()
+        # nsolve/first_bad are replicated scalars: every shard runs the
+        # same psum-coupled Newton loop, so the counts agree by
+        # construction (out_specs P() takes one copy)
         self._simulate = jax.jit(jax.shard_map(
             self._march_local, mesh=mesh,
             in_specs=(sh_t, sh_x, sh_x, sh_x, P(axis), sh_x, rep, rep,
                       rep),
-            out_specs=sh_t,
+            out_specs=(sh_t, rep, rep),
             check_vma=False))
 
     # ------------------------------------------------------------------
@@ -269,7 +273,7 @@ class GridShardedForward2D:
             big = jnp.asarray(jnp.inf, dtype)
 
             def body(carry):
-                phi, mu, done, k, norm0, prev = carry
+                phi, mu, done, k, norm0, prev, ns = carry
                 norm_R, Rphi, Rmu = res(phi, mu)
                 norm0 = jnp.where(k == 0, norm_R, norm0)
                 conv = norm_R < cfg.newton_tol
@@ -284,12 +288,14 @@ class GridShardedForward2D:
                     return armijo(phi, mu, dphi, dmu, norm_R)
 
                 phi_n, mu_n = lax.cond(conv, lambda a: a, take, (phi, mu))
-                return (phi_n, mu_n, conv, k + 1, norm0, norm_R)
+                ns = ns + jnp.where(conv, 0, 1).astype(jnp.int32)
+                return (phi_n, mu_n, conv, k + 1, norm0, norm_R, ns)
 
-            phi, mu, _, _, _, _ = lax.while_loop(
+            phi, mu, _, _, _, _, ns = lax.while_loop(
                 cond, body, (phi_old, mu_init, jnp.asarray(False),
-                             jnp.asarray(0, jnp.int32), big, big))
-            return phi, mu
+                             jnp.asarray(0, jnp.int32), big, big,
+                             jnp.asarray(0, jnp.int32)))
+            return phi, mu, ns
 
         # -- marcher -----------------------------------------------------
         w0 = jnp.zeros_like(phi0_l)
@@ -297,13 +303,17 @@ class GridShardedForward2D:
         m0 = psum(jnp.sum(wts_l * phi0_l))
 
         def step(carry, inp):
-            phi, mu, w = carry
+            phi, mu, w, nsolve, first_bad, idx = carry
             u_n, u_np1, dt = inp
             w_new = solve_w(w, dt, gamma, u_n, u_np1)
             mu_init = initialize_mu(phi, w_new)
-            phi_new, mu_new = newton(phi, mu, w, w_new, dt, mu_init)
+            phi_new, mu_new, k = newton(phi, mu, w, w_new, dt, mu_init)
             phi_c = jnp.clip(phi_new, lo, hi)
             mass_error = psum(jnp.sum(wts_l * phi_c)) - m0
+            # runtime sanitizer channel (psum'd, so shard-identical;
+            # Forward_solver.py:166-172 semantics like the other paths)
+            bad = ~jnp.isfinite(mass_error)
+            first_bad = jnp.where((first_bad < 0) & bad, idx, first_bad)
             interior = jnp.abs(phi_c) < (1.0 - DELTA_SEP - 5e-3)
             Wint = psum(jnp.sum(jnp.where(interior, wts_l, 0.0)))
             corrected = jnp.where(interior, phi_c - mass_error / Wint, phi_c)
@@ -312,19 +322,32 @@ class GridShardedForward2D:
             phi_c = jnp.where(jnp.abs(mass_error) > 1e-16,
                               jnp.where(Wint > 0, corrected, fallback),
                               phi_c)
-            return (phi_c, mu_new, w_new), phi_c
+            return (phi_c, mu_new, w_new, nsolve + k, first_bad,
+                    idx + 1), phi_c
 
         inputs = (u_l[:-1], u_l[1:], dts)
-        (_, _, _), phis = lax.scan(step, (phi0_l, mu0, w0), inputs)
-        return jnp.concatenate([phi0_l[None], phis], axis=0)
+        carry0 = (phi0_l, mu0, w0, jnp.asarray(0, jnp.int32),
+                  jnp.asarray(-1, jnp.int32), jnp.asarray(0, jnp.int32))
+        (_, _, _, nsolve, first_bad, _), phis = lax.scan(step, carry0,
+                                                         inputs)
+        return (jnp.concatenate([phi0_l[None], phis], axis=0), nsolve,
+                first_bad)
 
     # ------------------------------------------------------------------
+    def march(self, u, phi0):
+        """Jit-friendly inner API: (u (M+1, n, m), phi0 (n, m)) ->
+        (phi_hist sharded, newton_solves, first_bad)."""
+        return self._simulate(u, phi0, self._VxiT, self._VxT, self._lamx,
+                              self._wts, self._Vy, self._Vy_inv, self._lamy)
+
     def simulate(self, control=None, initial_phi=None):
         """Run the grid-sharded forward simulation.
 
         Returns (phi_hist, (x, y), t_hist) with phi_hist row-sharded across
-        the mesh (a global jax.Array — np.asarray gathers it).
-        """
+        the mesh (a global jax.Array — np.asarray gathers it). Measured
+        Newton-solve counts land in self.last_stats (MarchStats, like
+        ForwardSolver2D), and a non-finite mass defect raises (runtime
+        sanitizer parity with the other paths)."""
         cfg = self.config
         shape = (cfg.Nx + 1, cfg.Ny + 1)
         d = self.dtype
@@ -336,9 +359,282 @@ class GridShardedForward2D:
         u = (jnp.zeros((self.M + 1,) + shape, d) if control is None
              else jnp.asarray(control, d))
         assert u.shape == (self.M + 1,) + shape
-        phi_hist = self._simulate(u, phi0, self._VxiT, self._VxT, self._lamx,
-                                  self._wts, self._Vy, self._Vy_inv,
-                                  self._lamy)
+        phi_hist, nsolve, first_bad = self.march(u, phi0)
+        from vch_tpu.models.forward1d import MarchStats
+        self.last_stats = MarchStats(np.asarray(nsolve),
+                                     np.asarray(first_bad))
+        bad = int(self.last_stats.first_bad_step)
+        if bad >= 0:
+            raise RuntimeError(
+                f"Non-finite mass defect at time step {bad} — solution "
+                f"diverged (see Forward_solver.py:166-172 semantics).")
         x = np.linspace(0.0, cfg.Lx, cfg.Nx + 1)
         y = np.linspace(0.0, cfg.Ly, cfg.Ny + 1)
         return phi_hist, (x, y), self.t_hist
+
+
+class GridShardedAdjoint2D:
+    """2D adjoint (p, q, r) backward sweep sharded over the grid's x-axis.
+
+    Semantics match models/adjoint2d.AdjointSolver2D step-for-step (same
+    kappa-less A/B CN operators, ref backward2_solver.py:75-246; terminal
+    (I - tau L) p_T = b2 (phi_T - phi_Omega), :183-187; dt<=1e-14 skip,
+    :212-216) — only the schedule is distributed: the halo-exchange
+    Laplacian, the reduce-scatter cosine transforms, and a psum'd inner
+    product inside the split-preconditioned BiCGStab (the f32-critical
+    conditioning is unchanged; see AdjointSolver2D notes).
+    """
+
+    def __init__(self, config: Optional[ForwardSolverConfig2D] = None,
+                 mesh: Optional[Mesh] = None, axis: str = "gx"):
+        self.config = config or ForwardSolverConfig2D()
+        cfg = self.config
+        if mesh is None:
+            mesh = Mesh(np.array(jax.devices()), (axis,))
+        self.mesh, self.axis = mesh, axis
+        n_sh = mesh.devices.size
+        rows = cfg.Nx + 1
+        assert rows % n_sh == 0 and rows // n_sh >= 2
+        self.dtype = jnp.float64 if cfg.dtype == "float64" else jnp.float32
+        self.hx, self.hy = cfg.Lx / cfg.Nx, cfg.Ly / cfg.Ny
+        lamx, Vx, Vx_inv = neumann_eigendecomposition(cfg.Nx, self.hx)
+        lamy, Vy, Vy_inv = neumann_eigendecomposition(cfg.Ny, self.hy)
+        d = self.dtype
+        self._VxiT = jnp.asarray(Vx_inv.T, d)
+        self._VxT = jnp.asarray(Vx.T, d)
+        self._lamx = jnp.asarray(lamx, d)
+        self._Vy = jnp.asarray(Vy, d)
+        self._Vy_inv = jnp.asarray(Vy_inv, d)
+        self._lamy = jnp.asarray(lamy, d)
+        self.krylov_tol = (cfg.krylov_tol if self.dtype == jnp.float64
+                           else max(cfg.krylov_tol, 1e-6))
+        self._krylov_fixed = (None if self.dtype == jnp.float64
+                              else (cfg.adjoint_krylov_fixed_iters
+                                    or cfg.krylov_fixed_iters))
+
+        sh_x = P(axis, None)
+        sh_t = P(None, axis, None)
+        rep = P()
+        self._run_sharded = jax.jit(jax.shard_map(
+            self._run_local, mesh=mesh,
+            in_specs=(sh_t, rep, rep, rep, sh_t, sh_x,
+                      sh_x, sh_x, P(axis), rep, rep, rep),
+            out_specs=(sh_t, sh_t, sh_t),
+            check_vma=False))
+
+    def _run_local(self, phi_l, dts, b1, b2, phiQ_l, phiT_l,
+                   VxiT_l, VxT_l, lamx_l, Vy, Vy_inv, lamy):
+        cfg = self.config
+        ax = self.axis
+        tau, gamma, c1, c2 = cfg.tau, cfg.gamma, cfg.c1, cfg.c2
+        Ntot = (cfg.Nx + 1) * (cfg.Ny + 1)
+
+        psum = lambda s: lax.psum(s, ax)
+        dot = lambda a, b_: psum(jnp.sum(a * b_))
+        lap = partial(_halo_laplacian_local, hx=self.hx, hy=self.hy,
+                      axis_name=ax)
+
+        def to_spec(v_l):
+            part = jnp.einsum("rk,rm->km", VxiT_l, v_l)
+            vhat_l = lax.psum_scatter(part, ax, scatter_dimension=0,
+                                      tiled=True)
+            return vhat_l @ Vy_inv.T
+
+        def from_spec(vh_l):
+            part = jnp.einsum("rk,rm->km", VxT_l, vh_l)
+            v_l = lax.psum_scatter(part, ax, scatter_dimension=0, tiled=True)
+            return v_l @ Vy.T
+
+        lam_l = lamx_l[:, None] + lamy[None, :]
+
+        # terminal: (I - tau L) p_T = b2 (phi_T - phi_Omega), exact in the
+        # (distributed) cosine basis
+        rhs_T = b2 * (phi_l[-1] - phiT_l)
+        p_T = from_spec(to_spec(rhs_T) / (1.0 - tau * lam_l))
+        q_T = -lap(p_T)
+        r_T = jnp.zeros_like(p_T)
+
+        src_all = phi_l - phiQ_l
+
+        def fpp(phi):
+            ph = jnp.clip(phi, -1.0 + 1e-8, 1.0 - 1e-8)
+            return 2.0 * c1 / (1.0 - ph * ph) - 2.0 * c2
+
+        def step(carry, inp):
+            p_next, q_next, r_next = carry
+            phi_n, phi_np1, src_n, src_np1, dt = inp
+            fpp_n = fpp(phi_n)
+            fpp_np1 = fpp(phi_np1)
+            fbar = psum(jnp.sum(fpp_n)) / Ntot
+
+            w1 = lap(p_next)
+            Bp = (p_next - tau * w1 - 0.5 * dt * lap(w1)
+                  + 0.5 * dt * fpp_np1 * w1)
+            rhs = Bp + 0.5 * dt * b1 * (src_n + src_np1)
+
+            def apply_A(v):
+                w = lap(v)
+                return v - tau * w + 0.5 * dt * (lap(w) - fpp_n * w)
+
+            denom = (1.0 - tau * lam_l + 0.5 * dt * lam_l ** 2
+                     - 0.5 * dt * fbar * lam_l)
+            inv_sqrt = jax.lax.rsqrt(jnp.abs(denom))
+
+            def Phalf(v):
+                return from_spec(to_spec(v) * inv_sqrt)
+
+            def Phalf_inv(v):
+                return from_spec(to_spec(v) / inv_sqrt)
+
+            if self._krylov_fixed is not None:
+                p_n = bicgstab_split_fixed(apply_A, rhs, Phalf, Phalf_inv,
+                                           n_iter=self._krylov_fixed,
+                                           x0=p_next, dot_fn=dot)
+            else:
+                p_n = bicgstab_split(apply_A, rhs, Phalf, Phalf_inv,
+                                     tol=self.krylov_tol,
+                                     max_iter=cfg.krylov_max_iter,
+                                     x0=p_next, dot_fn=dot)
+            q_n = -lap(p_n)
+            den = gamma + 0.5 * dt
+            r_n = ((gamma - 0.5 * dt) / den * r_next
+                   + 0.5 * dt / den * (q_n + q_next))
+            skip = dt <= 1e-14
+            out = (jnp.where(skip, p_next, p_n),
+                   jnp.where(skip, q_next, q_n),
+                   jnp.where(skip, r_next, r_n))
+            return out, out
+
+        inputs = (phi_l[:-1], phi_l[1:], src_all[:-1], src_all[1:], dts)
+        _, (p_rev, q_rev, r_rev) = lax.scan(step, (p_T, q_T, r_T), inputs,
+                                            reverse=True)
+        p = jnp.concatenate([p_rev, p_T[None]], axis=0)
+        q = jnp.concatenate([q_rev, q_T[None]], axis=0)
+        r = jnp.concatenate([r_rev, r_T[None]], axis=0)
+        return p, q, r
+
+    def run_impl(self, phi_hist, dts, b1, b2, phi_Q, phi_T_target):
+        """Jit-friendly inner API (global jax.Arrays in/out)."""
+        d = self.dtype
+        return self._run_sharded(phi_hist, jnp.asarray(dts, d),
+                                 jnp.asarray(b1, d), jnp.asarray(b2, d),
+                                 phi_Q, phi_T_target, self._VxiT, self._VxT,
+                                 self._lamx, self._Vy, self._Vy_inv,
+                                 self._lamy)
+
+    def run(self, phi_hist, t_hist, b1: float, b2: float,
+            phi_Q=None, phi_T_target=None):
+        """AdjointSolver2D.run-compatible surface on the grid mesh."""
+        d = self.dtype
+        phi_hist = jnp.asarray(phi_hist, d)
+        dts = np.diff(np.asarray(t_hist, np.float64))
+        if phi_Q is None:
+            phi_Q = jnp.zeros_like(phi_hist)
+        else:
+            phi_Q = jnp.asarray(phi_Q, d)
+        if phi_T_target is None:
+            phi_T_target = jnp.zeros(phi_hist.shape[-2:], d)
+        else:
+            phi_T_target = jnp.asarray(phi_T_target, d)
+        return self.run_impl(phi_hist, dts, float(b1), float(b2), phi_Q,
+                             phi_T_target)
+
+
+class GridShardedProblem2D:
+    """Full sparse-control PGD with the GRID sharded across the mesh.
+
+    The config-5 story (BASELINE.md: 256x256+ where one member's working
+    set outgrows a chip): forward marcher, adjoint sweep, gradient, prox,
+    and the host-driven optimistic/backtracking line search all run with
+    the field's x-axis sharded (shard_map halo stencils + reduce-scatter
+    transforms inside; XLA auto-partitions the elementwise prox/cost
+    programs from the input shardings). Wires the grid-sharded callables
+    into the same ProximalGradientLoop as ControlProblem2D — identical
+    trial schedule, so single-device parity is a direct test
+    (tests/test_spatial_sharding.py).
+    """
+
+    def __init__(self, config: Optional[ForwardSolverConfig2D] = None,
+                 opt_config=None, mesh: Optional[Mesh] = None,
+                 axis: str = "gx", choice_t: int = 1, choice_q: int = 1,
+                 initial_phi=None):
+        from vch_tpu.config import OptimizationConfig
+        from vch_tpu.control.cost import calculate_cost_2d
+        from vch_tpu.control.pgd import PGDSettings, ProximalGradientLoop
+        from vch_tpu.control.targets import build_targets_2d
+        from vch_tpu.ops.potential import init_phi_random_2d
+
+        self.fwd = GridShardedForward2D(config, mesh=mesh, axis=axis)
+        cfg = self.fwd.config
+        self.config = cfg
+        self.adjoint = GridShardedAdjoint2D(cfg, mesh=self.fwd.mesh,
+                                            axis=axis)
+        self.opt_config = opt_config or OptimizationConfig.defaults_2d()
+        opt = self.opt_config
+        d = self.fwd.dtype
+        self.phi0 = (init_phi_random_2d(cfg.Nx, cfg.Ny, DELTA_SEP, amp=0.1,
+                                        seed=42)
+                     if initial_phi is None
+                     else np.asarray(initial_phi, np.float64))
+        self._phi0_dev = jnp.asarray(self.phi0, d)
+        x = np.linspace(0.0, cfg.Lx, cfg.Nx + 1)
+        y = np.linspace(0.0, cfg.Ly, cfg.Ny + 1)
+        self.x, self.y, self.t_hist = x, y, self.fwd.t_hist
+        self._dts = jnp.asarray(self.fwd.dts, d)
+        phi_T, phi_Q = build_targets_2d(x, y, self.t_hist, self.phi0,
+                                        float(cfg.Lx), float(cfg.Ly),
+                                        float(cfg.T), choice_t=choice_t,
+                                        choice_q=choice_q)
+        self.phi_T_target = jnp.asarray(phi_T, d)
+        self.phi_Q_target = jnp.asarray(phi_Q, d)
+        self.newton_solves = 0
+
+        def forward(u):
+            phis, ns, _bad = self.fwd.march(u, self._phi0_dev)
+            # the loop's trial API wants the trajectory; count solves on
+            # the side (host callback-free: accumulate after each call)
+            return phis
+
+        def adjoint(phi_hist):
+            _, _, r = self.adjoint.run_impl(
+                phi_hist, self._dts, opt.b1, opt.b2, self.phi_Q_target,
+                self.phi_T_target)
+            return r
+
+        xj, yj = jnp.asarray(x, d), jnp.asarray(y, d)
+        tj = jnp.asarray(self.t_hist, d)
+
+        def cost(phi_hist, u):
+            return calculate_cost_2d(phi_hist, u, self.phi_Q_target,
+                                     self.phi_T_target, xj, yj, tj,
+                                     opt.b1, opt.b2, opt.b3,
+                                     opt.kappa_sparsity)
+
+        self.loop = ProximalGradientLoop(
+            forward, adjoint, cost, opt,
+            settings=PGDSettings.defaults_2d(), search_mode="host")
+        # baseline (uncontrolled) trajectory for the loop's initial state
+        self._u0 = jnp.zeros((self.fwd.M + 1, cfg.Nx + 1, cfg.Ny + 1), d)
+
+    def optimize(self, max_iter: Optional[int] = None, verbose: bool = True):
+        phi0_hist, ns, _ = self.fwd.march(self._u0, self._phi0_dev)
+        self.newton_solves = int(np.asarray(ns))
+        return self.loop.run(self._u0, phi0_hist, max_iter=max_iter,
+                             verbose=verbose)
+
+    def verify_sparsity(self, result, verbose: bool = True):
+        from vch_tpu.control.diagnostics import verify_sparsity_condition
+        return verify_sparsity_condition(result.u_optimal, result.r_optimal,
+                                         self.opt_config.kappa_sparsity,
+                                         verbose=verbose)
+
+    def second_order_check(self, result, num_directions: int = 5,
+                           epsilon: float = 1e-4, seed: int = 42):
+        from vch_tpu.control.diagnostics import (
+            approximate_second_order_condition)
+        opt = self.opt_config
+        return approximate_second_order_condition(
+            self.loop.forward, self.loop.cost, result.u_optimal,
+            result.r_optimal, result.phi_final, opt.b3, opt.kappa_sparsity,
+            opt.u_min, opt.u_max, num_directions=num_directions,
+            epsilon=epsilon, seed=seed, handle_kink=False)
