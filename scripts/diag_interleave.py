@@ -17,7 +17,6 @@ Usage: python scripts/diag_interleave.py [--n 64] [--members 32] [--len 40]
 from __future__ import annotations
 
 import argparse
-import functools
 import json
 import os
 import sys
@@ -35,12 +34,16 @@ def main():
     ap.add_argument("--members", type=int, default=32)
     ap.add_argument("--len", dest="chain", type=int, default=40)
     ap.add_argument("--reps", type=int, default=30)
+    ap.add_argument("--loop-mode", action="store_true",
+                    help="drive the chain with a fori_loop body instead of "
+                         "fully unrolled matmuls (same measurement, "
+                         "loop-trip overhead included)")
     args = ap.parse_args()
 
     import jax
     import jax.numpy as jnp
     from jax.experimental import pallas as pl
-    from vch_tpu.ops import pallas_kernels as pk
+    import vch_tpu  # noqa: F401 - registers the package-global matmul precision
 
     n = args.n + 1
     B = args.members
@@ -49,6 +52,8 @@ def main():
     q, _ = np.linalg.qr(rng.standard_normal((n, n)))
     A = jnp.asarray(q * 0.999, jnp.float32)
     X = jnp.asarray(rng.standard_normal((B, n, n)), jnp.float32)
+
+    loop_mode = args.loop_mode
 
     def chain_factory(K: int, L: int, prec):
         def kernel(A_ref, *refs):
@@ -61,8 +66,12 @@ def main():
                                precision=prec)
 
             out = tuple(xs)
-            for _ in range(L):           # unrolled: no loop-trip overhead
-                out = tuple(mm(A_, x) for x in out)
+            if loop_mode:
+                out = jax.lax.fori_loop(
+                    0, L, lambda i, o: tuple(mm(A_, x) for x in o), out)
+            else:
+                for _ in range(L):       # unrolled: no loop-trip overhead
+                    out = tuple(mm(A_, x) for x in out)
             for o_ref, o in zip(refs[K:], out):
                 o_ref[0] = o
         return kernel
@@ -96,8 +105,8 @@ def main():
         # ns per (member, chain-step) matmul
         return dt / (B * args.chain) * 1e9
 
-    res = {"n": args.n, "members": B, "chain_len": args.chain}
-    import jax.lax as lax
+    res = {"n": args.n, "members": B, "chain_len": args.chain,
+           "body": "fori_loop" if loop_mode else "unrolled"}
     for label, prec in [("highest", jax.lax.Precision.HIGHEST),
                         ("bf16", jax.lax.Precision.DEFAULT)]:
         for K in (1, 2, 4, 8):
