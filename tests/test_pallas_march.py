@@ -197,3 +197,32 @@ def test_fused_march_nonuniform_final_dt():
     phi_ref, _ = jax.vmap(lambda uu, p0: solver._march_impl(uu, p0))(u, phi0)
     phi_f, _, _ = _fused(solver, u, phi0)
     assert np.abs(np.asarray(phi_f) - np.asarray(phi_ref)).max() < 1e-5
+
+
+def test_adjoint_fused_bf16x3_solve_matches_highest():
+    """The opt-in bf16x3 Krylov dots in the fused adjoint (hi/lo-split
+    three-dot f32 emulation, config.adjoint_solve_precision) must track
+    the highest-precision kernel to f32 roundoff in interpret mode."""
+    import jax
+    import jax.numpy as jnp
+    from vch_tpu.models.adjoint2d import AdjointSolver2D
+
+    solver = _solver(T=0.04)
+    phi0, u = _batch(solver, B=2)
+    phi, _, _ = _fused(solver, u, phi0)
+    dts = jnp.asarray(solver.dts, solver.dtype)
+    b1 = jnp.full((2,), 5.0, solver.dtype)
+    b2 = jnp.full((2,), 10.0, solver.dtype)
+    phi_Q = jnp.zeros_like(phi)
+    phi_T = jnp.zeros_like(phi0)
+    outs = {}
+    for prec in ("highest", "bf16x3"):
+        cfg = ForwardSolverConfig2D(Nx=16, Ny=16, T=0.04, dtype="float32",
+                                    newton_tol=2e-4,
+                                    adjoint_solve_precision=prec)
+        adj = AdjointSolver2D(cfg)
+        outs[prec] = np.asarray(adj.adjoint_fused_batch(
+            phi, dts, b1, b2, phi_Q, phi_T, interpret=True))
+    scale = np.abs(outs["highest"]).max()
+    diff = np.abs(outs["highest"] - outs["bf16x3"]).max()
+    assert diff < 5e-4 * max(scale, 1e-30), diff / scale

@@ -34,6 +34,7 @@ class _SolverKnobs(BaseModel):
     krylov_fixed_iters: int = Field(4, gt=0, description="Fixed Krylov trip count used on the float32/TPU path (compiles smaller, no convergence barrier; the Newton while_loop's residual tolerance absorbs the slack). Tuned on-chip at 64x64 B=32: trips 10/8/6/5/4 all produce the identical Newton-solve count and final cost, so 4 is pure speedup (22.8 -> 34.4 scenario-iters/s); 3 stalls the lockstep Newton loop (11 it/s), 2 burns 40% more Newton solves")
     fused_solve_precision: Optional[str] = Field("bf16x3", description="Matmul precision INSIDE the fused-march kernel's Krylov solve only: 'bf16x3' (default — three pipelined single-pass bf16 dots on the (hi, lo) split, reproducing the scan path's validated 'high' arithmetic), 'highest' (6-pass f32), or 'default' (raw 1-pass bf16). Residuals/Laplacians/Armijo trials ALWAYS run at highest — an imprecise solve direction can only cost extra Newton iterations (visible in the measured counters), never accuracy; keeping the RESIDUAL at bf16x3 instead stalls the Armijo accept test near convergence (94 -> 38 it/s at 20 iters). Measured at 64x64 B=32 x 20 iters on-chip: bf16x3 99.2 it/s with +0.02% Newton solves and 3e-4 cost agreement vs highest's 94.1; raw bf16 DOUBLES the Newton solves (252800 vs 126557) for a net 91.0")
     fused_krylov_fixed_iters: Optional[int] = Field(3, gt=0, description="Fixed Krylov trip count inside the fused whole-march kernel (ops/pallas_march.py), where each member runs its OWN Newton loop: a slightly under-converged solve costs only that member an extra Newton iteration, not a lockstep round for the whole batch. Measured at 64x64 B=256 on-chip: trips 3 = 131.8 scenario-iters/s with +0.15% Newton solves vs trips 4 = 120.3 (the scan path's '3 stalls at 11 it/s' was pure vmap-lockstep artifact); trips 2 burns +34% solves for 126.4. None inherits krylov_fixed_iters")
+    adjoint_solve_precision: Optional[str] = Field(None, description="Matmul precision inside the fused ADJOINT kernel's Krylov operator apply only: None/'highest' (6-pass f32) or 'bf16x3' (pipelined three-dot (hi,lo)-split, ~f32-equivalent arithmetic). Measured at 64x64 B=256 x 20 PGD iters on-chip: adjoint sweep 0.362 -> 0.312 s (14%), end-to-end 223.7 -> 236.2 it/s (+5.6%), gradient r within 8.5e-5 rel (the f32 noise floor), Newton solves +0.57% — but per-member 20-iter final costs diverge up to 1.7% rel (noise-floor gradient perturbations flip discrete line-search decisions on the chaotic T=1 trajectories). Default None -> highest: the ~6% is not worth breaking run-to-run cost comparability; opt in for pure-throughput sweeps")
     adjoint_krylov_fixed_iters: Optional[int] = Field(5, gt=0, description="Fixed Krylov trip count for the ADJOINT step solves on the float32/TPU path. None inherits krylov_fixed_iters. Kept separate because the adjoint operator is condition-1e6 and has NO outer Newton loop to absorb an under-converged solve. The warm-started split-preconditioned solve is noise-floor-converged by 4 trips (f32-vs-f64 gradient relmax 1.4e-4/4.4e-4/2.8e-3 at 32/64/128 grids, trips-independent down to 4), and 20-iteration B=32 PGD runs at trips 4/5/6 produce BIT-IDENTICAL trajectories (same 126557 Newton solves, same costs; 104.5/94.1/85.1 it/s). 5 = one-trip margin above the measured floor")
     linsolve_1d: str = Field("auto", description="1D Newton/adjoint linear solver: 'dense' (exact LU, reference parity), 'spectral' (matrix-free cosine-preconditioned BiCGStab), or 'auto' (dense for f64 N<=256, spectral otherwise)")
     pallas_variant: str = Field("spectral", description="Fused-kernel basis: 'spectral' (BiCGStab in the cosine eigenbasis — diagonal preconditioner, half/third the matmuls per trip, measured 1.19x forward on-chip) or 'raw' (bit-parity with ops/linsolve.bicgstab_fixed / bicgstab_split_fixed)")

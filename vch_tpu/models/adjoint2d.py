@@ -184,7 +184,9 @@ class AdjointSolver2D:
             dts, phi_hist, phi_Q, phi_T, b1, b2, op.Lx, op.Ly.T,
             op.Vx_inv, op.Vy_inv.T, op.Vx, op.Vy.T, op.lam,
             cfg.tau, cfg.gamma, cfg.c1, cfg.c2, self._krylov_fixed,
-            interpret=interpret)
+            interpret=interpret,
+            solve_prec=getattr(cfg, "adjoint_solve_precision", None)
+            or "highest")
 
     def run(self, phi_hist, t_hist, b1: float, b2: float,
             phi_Q: Optional[np.ndarray] = None,

@@ -44,6 +44,38 @@ except Exception:  # pragma: no cover
 from vch_tpu.ops.pallas_kernels import _PREC
 
 
+def _make_mm(dt_, mode):
+    """Matmul builder for the fused kernels: 'bf16x3' emulates the
+    validated 'high' f32 precision with three INDEPENDENT single-pass
+    bf16 dots on the (hi, lo) split — Mosaic lowers only DEFAULT (1-pass
+    bf16) and HIGHEST (6-pass) dot precisions, and the three split dots
+    pipeline on the MXU where HIGHEST's 6 passes serialize. Any other
+    mode compiles the package-default full-precision dot."""
+    if mode != "bf16x3":
+        def mm(a, c):
+            return jnp.dot(a, c, preferred_element_type=dt_,
+                           precision=_PREC)
+        return mm
+
+    one_pass = jax.lax.Precision.DEFAULT   # each split dot pinned to 1 pass
+    # (the package-global default precision is 'highest', which a bf16
+    # dot cannot lower — "Bad lhs type")
+
+    def mm(a, c):
+        a16 = a.astype(jnp.bfloat16)
+        c16 = c.astype(jnp.bfloat16)
+        ar = (a - a16.astype(dt_)).astype(jnp.bfloat16)
+        cr = (c - c16.astype(dt_)).astype(jnp.bfloat16)
+        d0 = jnp.dot(a16, c16, preferred_element_type=dt_,
+                     precision=one_pass)
+        d1 = jnp.dot(ar, c16, preferred_element_type=dt_,
+                     precision=one_pass)
+        d2 = jnp.dot(a16, cr, preferred_element_type=dt_,
+                     precision=one_pass)
+        return d0 + (d1 + d2)
+    return mm
+
+
 def _march_kernel_factory(M: int, tau: float, c1: float, c2: float,
                           kappa: float, gamma: float, delta_sep: float,
                           area: float, newton_tol: float, newton_rtol: float,
@@ -69,36 +101,6 @@ def _march_kernel_factory(M: int, tau: float, c1: float, c2: float,
     dsep2 = 1.0 - delta_sep * delta_sep
     sprec = (jax.lax.Precision.DEFAULT if solve_prec == "default"
              else jax.lax.Precision.HIGHEST)
-
-    def _make_mm(dt_, mode):
-        if mode != "bf16x3":
-            def mm(a, c):
-                return jnp.dot(a, c, preferred_element_type=dt_,
-                               precision=_PREC)
-            return mm
-
-        # bf16x3 emulation of the forward path's validated 'high'
-        # precision: Mosaic lowers only DEFAULT (1-pass bf16) and HIGHEST
-        # (6-pass) dot precisions, but three INDEPENDENT single-pass dots
-        # on the (hi, lo) bf16 split reproduce bf16_3x arithmetic and
-        # pipeline on the MXU where the 6 passes of HIGHEST serialize.
-        one_pass = jax.lax.Precision.DEFAULT   # the package-global default
-        # precision is 'highest', which a bf16 dot cannot lower ("Bad lhs
-        # type") — each split dot must be pinned to a single pass
-
-        def mm(a, c):
-            a16 = a.astype(jnp.bfloat16)
-            c16 = c.astype(jnp.bfloat16)
-            ar = (a - a16.astype(dt_)).astype(jnp.bfloat16)
-            cr = (c - c16.astype(dt_)).astype(jnp.bfloat16)
-            d0 = jnp.dot(a16, c16, preferred_element_type=dt_,
-                         precision=one_pass)
-            d1 = jnp.dot(ar, c16, preferred_element_type=dt_,
-                         precision=one_pass)
-            d2 = jnp.dot(a16, cr, preferred_element_type=dt_,
-                         precision=one_pass)
-            return d0 + (d1 + d2)
-        return mm
 
     def kernel(*refs):
         # segment=True adds (mu0, w0, m0) carry INPUTS and (phi_f, mu_f,
@@ -564,7 +566,8 @@ def march_fused_2d_segment(dts, phi0, mu0, w0, m0, u, Lx, LyT, Vx_inv,
 
 def _adjoint_kernel_factory(M: int, tau: float, gamma: float, c1: float,
                             c2: float, n_trips: int, eps_mach: float,
-                            carry_in: bool = False):
+                            carry_in: bool = False,
+                            solve_prec: str = "highest"):
     """Fused backward (p, q, r) sweep: models/adjoint2d.py `_run_impl`
     walked in one kernel, reverse time index n = M-1-t.
 
@@ -574,6 +577,14 @@ def _adjoint_kernel_factory(M: int, tau: float, gamma: float, c1: float,
     pallas_kernels.bicgstab_adjoint_spectral_pallas), then q = -L p and the
     r backward-CN recursion. Only r is written out (the batched PGD
     gradient needs nothing else); r_T = 0 is appended by the caller.
+
+    solve_prec: matmul precision inside the Krylov operator apply ONLY
+    ('highest' or 'bf16x3' — the (hi, lo)-split three-dot emulation of
+    f32, see _make_mm). The split preconditioning keeps Krylov iterates
+    O(1)-scaled, so bf16x3 (~f32-equivalent arithmetic) holds the same
+    f32 noise floor as 6-pass HIGHEST; rhs/terminal/q and the final
+    synthesis stay HIGHEST. Raw 1-pass bf16 is NOT offered here — the
+    adjoint has no outer Newton loop to absorb an imprecise solve.
     """
     fpp_eps = 1e-8
 
@@ -663,9 +674,17 @@ def _adjoint_kernel_factory(M: int, tau: float, gamma: float, c1: float,
         denom = poly - half_dt * fbar * lam
         isd = jax.lax.rsqrt(jnp.abs(denom))
 
+        mm_s = _make_mm(dt_, "bf16x3") if solve_prec == "bf16x3" else mm
+
+        def to_s_k(v):
+            return mm_s(mm_s(Vxi, v), VyiT)
+
+        def from_s_k(vh):
+            return mm_s(mm_s(Vx, vh), VyT)
+
         def apply_At(yh):
             z = isd * yh
-            w = to_s(fpp_n * from_s(lam * z))
+            w = to_s_k(fpp_n * from_s_k(lam * z))
             return isd * (poly * z - half_dt * w)
 
         bt = isd * to_s(rhs)
@@ -732,7 +751,8 @@ def _adjoint_kernel_factory(M: int, tau: float, gamma: float, c1: float,
 def adjoint_fused_2d(dts, phi_hist, phi_Q, phi_T, b1, b2,
                      Lx, LyT, Vx_inv, Vy_inv_T, Vx, VyT, lam,
                      tau: float, gamma: float, c1: float, c2: float,
-                     n_trips: int, interpret: bool = False):
+                     n_trips: int, interpret: bool = False,
+                     solve_prec: str = "highest"):
     """Run the full batched 2D adjoint sweep in one Pallas kernel.
 
     Args:
@@ -748,7 +768,8 @@ def adjoint_fused_2d(dts, phi_hist, phi_Q, phi_T, b1, b2,
     eps_mach = 2.2e-16 if dtype == jnp.float64 else 1.2e-7
 
     kernel = _adjoint_kernel_factory(M, float(tau), float(gamma), float(c1),
-                                     float(c2), int(n_trips), eps_mach)
+                                     float(c2), int(n_trips), eps_mach,
+                                     solve_prec=solve_prec)
 
     if _HAS_PLTPU:
         vmem = pl.BlockSpec(memory_space=pltpu.VMEM)
@@ -798,7 +819,8 @@ def adjoint_fused_2d(dts, phi_hist, phi_Q, phi_T, b1, b2,
 def adjoint_fused_2d_segment(dts, phi_seg, phi_Q_seg, p0, q0, r0, b1,
                              Lx, LyT, Vx_inv, Vy_inv_T, Vx, VyT, lam,
                              tau: float, gamma: float, c1: float, c2: float,
-                             n_trips: int, interpret: bool = False):
+                             n_trips: int, interpret: bool = False,
+                             solve_prec: str = "highest"):
     """One K-step SEGMENT of the fused backward sweep with the (p, q, r)
     carry explicit, for the lowmem recompute-and-sweep pipeline
     (models/lowmem.py): p0/q0/r0 are the adjoint state at the segment's
@@ -816,7 +838,7 @@ def adjoint_fused_2d_segment(dts, phi_seg, phi_Q_seg, p0, q0, r0, b1,
 
     kernel = _adjoint_kernel_factory(K, float(tau), float(gamma), float(c1),
                                      float(c2), int(n_trips), eps_mach,
-                                     carry_in=True)
+                                     carry_in=True, solve_prec=solve_prec)
 
     if _HAS_PLTPU:
         vmem = pl.BlockSpec(memory_space=pltpu.VMEM)
