@@ -15,7 +15,10 @@ Env overrides: VCH_BENCH_N (grid, default 64), VCH_BENCH_BATCH (default 512
 — the fused whole-march kernel runs each member's own Newton trip counts, so
 single-chip throughput scales with batch to ~B=512 instead of peaking at the
 old lockstep B=32; see WEAK_SCALING.json tpu_batch_scaling), VCH_BENCH_ITERS
-(default 3), VCH_BENCH_DTYPE (default float32 on TPU).
+(default 20 — the SAME protocol as the baseline denominator, which is the
+mean over a 20-iteration reference run; a 3-iteration window front-loads
+the hardest line searches and under-reports steady state by ~1.5x),
+VCH_BENCH_DTYPE (default float32 on TPU).
 """
 from __future__ import annotations
 
@@ -45,7 +48,7 @@ def main():
     # JAX_COMPILATION_CACHE_DIR is set for non-axon environments).
     N = int(os.environ.get("VCH_BENCH_N", "64"))
     B = int(os.environ.get("VCH_BENCH_BATCH", "512"))
-    iters = int(os.environ.get("VCH_BENCH_ITERS", "3"))
+    iters = int(os.environ.get("VCH_BENCH_ITERS", "20"))
     on_tpu = jax.default_backend() != "cpu"
     dtype = os.environ.get("VCH_BENCH_DTYPE",
                            "float32" if on_tpu else "float64")
