@@ -288,3 +288,21 @@ def test_batched_1d_fused_sharded_matches_unsharded():
                                out_plain["cost_history"], rtol=1e-5)
     np.testing.assert_allclose(out_mesh["u"], out_plain["u"], rtol=0,
                                atol=1e-3)
+
+
+def test_shard_fused_falls_back_when_batch_indivisible():
+    """A batch that does not divide the mesh runs the plain single-program
+    fused call (run() leaves such batches unsharded), bit-for-bit equal to
+    the no-mesh problem."""
+    cfg = ForwardSolverConfig2D(Nx=16, Ny=16, T=0.06, dtype="float32",
+                                newton_tol=2e-4,
+                                fused_krylov_fixed_iters=4,
+                                fused_solve_precision="highest")
+    mk = lambda: sweep_2d(cfg, b3_values=[1e-4, 2e-4, 3e-4],
+                          kappa_values=[1e-4])          # B=3, mesh=8
+    out_plain = BatchedProblem2D(cfg, fused_march=True).run(
+        mk(), max_iter=1, verbose=False)
+    out_mesh = BatchedProblem2D(cfg, mesh=make_mesh(), fused_march=True).run(
+        mk(), max_iter=1, verbose=False)
+    np.testing.assert_allclose(out_mesh["cost_history"],
+                               out_plain["cost_history"], rtol=1e-6)
