@@ -71,7 +71,12 @@ def main():
             "fused_krylov_fixed_iters": int(kf)} if kf else {}),
         **({"adjoint_krylov_fixed_iters": int(at)} if at else {}),
         **({"fused_solve_precision": os.environ["VCH_BENCH_SOLVE_PREC"]}
-           if os.environ.get("VCH_BENCH_SOLVE_PREC") else {}))
+           if os.environ.get("VCH_BENCH_SOLVE_PREC") else {}),
+        # opt-in bf16x3 adjoint Krylov dots (+5.6% end-to-end, gradient at
+        # the f32 noise floor but run-to-run cost comparability suffers —
+        # see config.adjoint_solve_precision)
+        **({"adjoint_solve_precision": os.environ["VCH_BENCH_ADJ_PREC"]}
+           if os.environ.get("VCH_BENCH_ADJ_PREC") else {}))
     # VCH_BENCH_SEARCH selects the line-search scheduler; all three are
     # identical-semantics and parity-gated in tests/test_parallel.py:
     #   "plain" (default) — masked full-batch rounds; fastest measured at
