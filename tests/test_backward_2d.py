@@ -86,6 +86,78 @@ def test_r_recursion_2d(synthetic):
         assert np.abs(r[n] - want).max() < 1e-9 * max(1.0, np.abs(q).max())
 
 
+@pytest.fixture(scope="module")
+def real_forward_last10():
+    """Real 2D forward run, last-10-frames window
+    (ref test_2d_backward.py:299-343: Nx=Ny=32, T=0.10, dt=1e-3,
+    kappa=0.03^2)."""
+    from vch_tpu.models.forward2d import ForwardSolver2D
+    cfg = ForwardSolverConfig2D(Nx=32, Ny=32, Lx=1.0, Ly=1.0, T=0.10,
+                                dt_initial=1e-3, tau=0.05, gamma=10.0,
+                                c1=0.75, c2=1.0, kappa=0.03 ** 2)
+    fwd = ForwardSolver2D(cfg)
+    phi_hist, (x, y), t_hist = fwd.simulate()
+    phi_hist = np.asarray(phi_hist)
+    K = min(10, len(t_hist))
+    return dict(cfg=cfg, phi10=phi_hist[-K:], t10=np.asarray(t_hist[-K:]),
+                x=x, y=y)
+
+
+def test_backward_operator_ordering_real_forward_2d(real_forward_last10):
+    """Discrete CN adjoint step on a REAL forward trajectory must satisfy
+        A(phi_n) p_n = B(phi_{n+1}) p_{n+1} + 0.5 dt b1 [(phi_n-phi_Qn)
+                                                         + (phi_{n+1}-phi_Qn+1)]
+    with rel residual < 5e-7, while the SWAPPED ordering (A at n+1, B at n)
+    is worse by > 100x — the operator-ordering discrimination gate
+    (ref test_2d_backward.py:299-414, gates :408-411)."""
+    s = real_forward_last10
+    cfg = s["cfg"]
+    phi10, t10 = s["phi10"], s["t10"]
+    N = cfg.Nx
+    hx = s["x"][1] - s["x"][0]
+
+    b1, b2 = 1.0, 0.7
+    phi_Q = np.zeros_like(phi10)
+    phi_T = np.zeros((N + 1, N + 1))
+    adj = AdjointSolver2D(cfg)
+    p, q, r = map(np.asarray, adj.run(phi10, t10, b1, b2, phi_Q, phi_T))
+
+    L1 = laplacian_matrix_neumann(N, hx)
+    I1 = np.eye(N + 1)
+    L = np.kron(L1, I1) + np.kron(I1, L1)
+    L2 = L @ L
+    I = np.eye(L.shape[0])
+
+    def A_mat(phi_2d, dt):
+        fpp = np.asarray(fpp_log(jnp.asarray(phi_2d), cfg.c1, cfg.c2)).ravel()
+        return I - cfg.tau * L + 0.5 * dt * L2 - 0.5 * dt * (fpp[:, None] * L)
+
+    def B_mat(phi_2d, dt):
+        fpp = np.asarray(fpp_log(jnp.asarray(phi_2d), cfg.c1, cfg.c2)).ravel()
+        return I - cfg.tau * L - 0.5 * dt * L2 + 0.5 * dt * (fpp[:, None] * L)
+
+    def rel_residual(res, left, right):
+        return (np.linalg.norm(res)
+                / (np.linalg.norm(left) + np.linalg.norm(right) + 1e-30))
+
+    K = len(t10)
+    for i in range(K - 1):
+        dt_i = float(t10[i + 1] - t10[i])
+        src = 0.5 * dt_i * b1 * ((phi10[i] - phi_Q[i])
+                                 + (phi10[i + 1] - phi_Q[i + 1])).ravel()
+        left_c = A_mat(phi10[i], dt_i) @ p[i].ravel()
+        right_c = B_mat(phi10[i + 1], dt_i) @ p[i + 1].ravel() + src
+        rel_corr = rel_residual(left_c - right_c, left_c, right_c)
+
+        left_s = A_mat(phi10[i + 1], dt_i) @ p[i].ravel()
+        right_s = B_mat(phi10[i], dt_i) @ p[i + 1].ravel() + src
+        rel_swap = rel_residual(left_s - right_s, left_s, right_s)
+
+        assert rel_corr < 5e-7, f"step {i}: correct residual {rel_corr:.2e}"
+        assert (rel_swap + 1e-30) / (rel_corr + 1e-30) > 1e2, \
+            f"step {i}: swap/correct ratio {rel_swap / rel_corr:.1f}"
+
+
 def test_golden_adjoint_parity_2d(golden_2d):
     g = golden_2d
     cfg = ForwardSolverConfig2D(Nx=32, Ny=32, T=0.25)

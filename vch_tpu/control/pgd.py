@@ -132,6 +132,7 @@ class PGDResult:
     timers: dict
     ls_trials_per_iter: list
     advisor_alpha: Optional[float] = None
+    plateau_boosts: int = 0
 
 
 class ProximalGradientLoop:
@@ -276,6 +277,7 @@ class ProximalGradientLoop:
                   "line_search_total": 0.0, "optimistic_eval_total": 0.0,
                   "successful_step_total": 0.0, "iteration_total": 0.0}
         plateau_counter = 0
+        plateau_boosts = 0
         successful_optimistic_alphas: list = []
         self._advisor_last_avg = 0.0
         self._advisor_stable = 0
@@ -331,6 +333,7 @@ class ProximalGradientLoop:
                           f"iterations. Boosting learning rate.")
                 alpha_prev = min(opt.alpha_max, alpha_k * s.plateau_boost)
                 plateau_counter = 0
+                plateau_boosts += 1
             else:
                 alpha_prev = min(opt.alpha_max, alpha_k * 1.2)
 
@@ -370,4 +373,4 @@ class ProximalGradientLoop:
             alpha_history=alpha_history, tracking_err_history=track_hist,
             terminal_err_history=term_hist, iterations=final_iters,
             converged=converged, timers=timers, ls_trials_per_iter=ls_trials,
-            advisor_alpha=advisor)
+            advisor_alpha=advisor, plateau_boosts=plateau_boosts)
