@@ -135,6 +135,106 @@ def test_grid_sharded_adjoint_matches_unsharded():
             nm, np.abs(a - b).max() / scale)
 
 
+def _diversified_sweep_2d(cfg, B, seed0=50):
+    import dataclasses
+
+    from vch_tpu.config import DELTA_SEP
+    from vch_tpu.ops.potential import init_phi_random_2d
+    from vch_tpu.parallel.batch import sweep_2d
+
+    sc = sweep_2d(cfg, b3_values=[1e-4, 2e-4], kappa_values=[5e-5, 1e-4])
+    assert sc.batch == B
+    phi0 = np.stack([init_phi_random_2d(cfg.Nx, cfg.Ny, DELTA_SEP, amp=0.1,
+                                        seed=seed0 + i) for i in range(B)])
+    scale = np.linspace(0.6, 1.4, B)
+    return dataclasses.replace(
+        sc, phi0=phi0,
+        phi_T=sc.phi_T * scale[:, None, None],
+        phi_Q=sc.phi_Q * scale[:, None, None, None],
+        b1=sc.b1 * np.linspace(0.5, 2.0, B),
+        b2=sc.b2 * np.linspace(1.5, 0.75, B))
+
+
+def test_batched_grid_sharded_forward_adjoint_parity():
+    """Batched grid-sharded march + adjoint on the combined (scenarios, gx)
+    mesh == per-member single-device solvers (VERDICT round-3 missing #1).
+    The mesh-lockstep loop predicates (globally OR'd conds with frozen
+    members) must leave member results bit-level identical."""
+    import jax
+    from jax.sharding import Mesh
+
+    from vch_tpu.config import DELTA_SEP, ForwardSolverConfig2D
+    from vch_tpu.models.adjoint2d import AdjointSolver2D
+    from vch_tpu.models.forward2d import ForwardSolver2D
+    from vch_tpu.ops.potential import init_phi_random_2d
+    from vch_tpu.parallel.spatial import (GridShardedAdjoint2D,
+                                          GridShardedForward2D)
+
+    cfg = ForwardSolverConfig2D(Nx=31, Ny=24, T=0.04, dt_initial=1e-2)
+    B = 4
+    mesh = Mesh(np.array(jax.devices()[:8]).reshape(4, 2),
+                ("scenarios", "gx"))
+    fwd = GridShardedForward2D(cfg, mesh=mesh, batch_axis="scenarios")
+    phi0 = jnp.asarray(np.stack([
+        init_phi_random_2d(cfg.Nx, cfg.Ny, DELTA_SEP, amp=0.1, seed=50 + i)
+        for i in range(B)]))
+    u = jnp.zeros((B, fwd.M + 1, cfg.Nx + 1, cfg.Ny + 1))
+    phi, ns, bad = fwd.march(u, phi0)
+    assert np.all(np.asarray(bad) == -1)
+
+    ref = ForwardSolver2D(cfg)
+    for i in range(B):
+        pr, _, _ = ref.simulate(control=np.asarray(u[i]),
+                                initial_phi=np.asarray(phi0[i]))
+        assert np.abs(np.asarray(phi)[i] - np.asarray(pr)).max() < 1e-12
+        assert int(np.asarray(ns)[i]) == int(ref.last_stats.newton_solves)
+
+    adj = GridShardedAdjoint2D(cfg, mesh=mesh, batch_axis="scenarios")
+    b1 = jnp.asarray(np.linspace(2.0, 8.0, B))
+    b2 = jnp.asarray(np.linspace(12.0, 6.0, B))
+    phiQ = jnp.zeros_like(phi)
+    phiT = jnp.asarray(0.1 * np.random.default_rng(0).standard_normal(
+        (B, cfg.Nx + 1, cfg.Ny + 1)))
+    _, _, r = adj.run_impl(phi, jnp.asarray(fwd.dts), b1, b2, phiQ, phiT)
+    radj = AdjointSolver2D(cfg)
+    for i in range(B):
+        _, _, r0 = radj.run(np.asarray(phi)[i], fwd.t_hist, float(b1[i]),
+                            float(b2[i]), np.asarray(phiQ[i]),
+                            np.asarray(phiT[i]))
+        scale = max(np.abs(np.asarray(r0)).max(), 1e-30)
+        assert np.abs(np.asarray(r)[i] - np.asarray(r0)).max() < 1e-10 * scale
+
+
+@pytest.mark.slow
+def test_batched_grid_sharded_pgd_matches_unsharded_batched():
+    """Full batched PGD on the combined (4 scenarios x 2 gx) mesh ==
+    BatchedProblem2D (single-device vmapped scan) member-for-member:
+    cost histories, controls, and measured Newton counts (VERDICT round-3
+    missing #1 done-criterion)."""
+    import jax
+    from jax.sharding import Mesh
+
+    from vch_tpu.config import ForwardSolverConfig2D
+    from vch_tpu.parallel.batch import BatchedProblem2D
+    from vch_tpu.parallel.spatial import GridShardedBatchedProblem2D
+
+    cfg = ForwardSolverConfig2D(Nx=31, Ny=24, T=0.04, dt_initial=1e-2)
+    sc = _diversified_sweep_2d(cfg, 4)
+    mesh = Mesh(np.array(jax.devices()[:8]).reshape(4, 2),
+                ("scenarios", "gx"))
+    prob = GridShardedBatchedProblem2D(cfg, mesh=mesh)
+    out = prob.run(sc, max_iter=2, verbose=False)
+
+    ref = BatchedProblem2D(cfg)
+    out_ref = ref.run(sc, max_iter=2, verbose=False)
+
+    ch, ch_ref = out["cost_history"], out_ref["cost_history"]
+    assert np.unique(ch_ref[-1].round(4)).size == 4   # genuinely distinct
+    assert np.abs(ch - ch_ref).max() < 1e-8 * np.abs(ch_ref).max()
+    assert np.abs(out["u"] - out_ref["u"]).max() < 1e-8
+    assert out["newton_solves"] == out_ref["newton_solves"] > 0
+
+
 @pytest.mark.slow
 def test_grid_sharded_pgd_matches_unsharded():
     """Full grid-sharded PGD (forward + adjoint + prox + host line search,

@@ -87,7 +87,8 @@ def spectral_poly_solve(op: SpectralOp2D, denom_of_lam: Callable, rhs: jnp.ndarr
 
 def bicgstab(apply_A: Callable, b: jnp.ndarray, apply_M: Callable,
              tol: float, max_iter: int, x0: jnp.ndarray | None = None,
-             dot_fn: Callable | None = None):
+             dot_fn: Callable | None = None,
+             sync_pred: Callable | None = None):
     """Right-preconditioned BiCGStab, jit/vmap-safe (fixed-bound while_loop).
 
     Solves A x = b with preconditioner application apply_M ~= A^{-1}.
@@ -96,6 +97,17 @@ def bicgstab(apply_A: Callable, b: jnp.ndarray, apply_M: Callable,
     dot_fn overrides the inner product — the grid-sharded solver passes a
     psum-reduced dot so the same recurrence runs distributed
     (parallel/spatial.py).
+
+    sync_pred (combined scenarios x grid mesh, parallel/spatial.py): an
+    all-reduce applied to the continue predicate so every device in the
+    mesh runs the SAME trip count. Collectives inside a data-dependent
+    while_loop otherwise deadlock when trip counts diverge across device
+    groups that share a global communicator (the XLA CPU collective
+    rendezvous spans the whole mesh, and on TPU a cross-group collective
+    sequence mismatch is just as fatal). When set, converged systems
+    FREEZE (body updates masked by the local predicate), so the extra
+    lockstep iterations are exact no-ops and per-member results are
+    independent of the other members' trip counts.
     """
     dtype = b.dtype
     x = jnp.zeros_like(b) if x0 is None else x0
@@ -108,23 +120,32 @@ def bicgstab(apply_A: Callable, b: jnp.ndarray, apply_M: Callable,
 
     def cond(carry):
         x, r, p, v, rho, alpha, omega, k = carry
-        return (dot(r, r) > atol2) & (k < max_iter)
+        pred = (dot(r, r) > atol2) & (k < max_iter)
+        return sync_pred(pred) if sync_pred is not None else pred
 
     def body(carry):
         x, r, p, v, rho, alpha, omega, k = carry
         rho_new = dot(rhat, r)
         beta = (rho_new / (rho + eps_div)) * (alpha / (omega + eps_div))
-        p = r + beta * (p - omega * v)
-        phat = apply_M(p)
-        v = apply_A(phat)
-        alpha = rho_new / (dot(rhat, v) + eps_div)
-        s = r - alpha * v
+        p_n = r + beta * (p - omega * v)
+        phat = apply_M(p_n)
+        v_n = apply_A(phat)
+        alpha_n = rho_new / (dot(rhat, v_n) + eps_div)
+        s = r - alpha_n * v_n
         shat = apply_M(s)
         t = apply_A(shat)
-        omega = dot(t, s) / (dot(t, t) + eps_div)
-        x = x + alpha * phat + omega * shat
-        r = s - omega * t
-        return (x, r, p, v, rho_new, alpha, omega, k + 1)
+        omega_n = dot(t, s) / (dot(t, t) + eps_div)
+        x_n = x + alpha_n * phat + omega_n * shat
+        r_n = s - omega_n * t
+        if sync_pred is not None:
+            # freeze members already at tolerance: lockstep extra trips
+            # (forced by the globally OR'd predicate) must not perturb them
+            active = dot(r, r) > atol2
+            sel = lambda new, old: jnp.where(active, new, old)
+            return (sel(x_n, x), sel(r_n, r), sel(p_n, p), sel(v_n, v),
+                    sel(rho_new, rho), sel(alpha_n, alpha),
+                    sel(omega_n, omega), k + 1)
+        return (x_n, r_n, p_n, v_n, rho_new, alpha_n, omega_n, k + 1)
 
     one = jnp.asarray(1.0, dtype)
     init = (x, r, jnp.zeros_like(b), jnp.zeros_like(b), one, one, one,
@@ -198,7 +219,8 @@ def bicgstab_fixed(apply_A: Callable, b: jnp.ndarray, apply_M: Callable,
 def bicgstab_split(apply_A: Callable, b: jnp.ndarray, apply_Phalf: Callable,
                    apply_Phalf_inv: Callable, tol: float, max_iter: int,
                    x0: jnp.ndarray | None = None,
-                   dot_fn: Callable | None = None):
+                   dot_fn: Callable | None = None,
+                   sync_pred: Callable | None = None):
     """BiCGStab on the SPLIT-preconditioned system P^-1/2 A P^-1/2.
 
     Right preconditioning leaves Krylov residuals in the RAW system's metric;
@@ -220,7 +242,7 @@ def bicgstab_split(apply_A: Callable, b: jnp.ndarray, apply_Phalf: Callable,
         return apply_Phalf(apply_A(apply_Phalf(v)))
 
     y = bicgstab(apply_At, bt, lambda v: v, tol=tol, max_iter=max_iter,
-                 x0=y0, dot_fn=dot_fn)
+                 x0=y0, dot_fn=dot_fn, sync_pred=sync_pred)
     return apply_Phalf(y)
 
 

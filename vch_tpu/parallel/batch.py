@@ -323,6 +323,20 @@ class _BatchedPGDBase:
         replicated and the mesh-sharded cases."""
         return jax.jit(fn)
 
+    def _batch_shards(self) -> int:
+        """Number of shards along the scenario axis. For the plain scenario
+        mesh this is the device count; a combined (scenarios, gx) mesh
+        (GridShardedBatchedProblem2D) shards the batch over its scenario
+        axis only."""
+        if self.mesh is None:
+            return 1
+        return self.mesh.shape.get(BATCH_AXIS, self.mesh.devices.size)
+
+    def _input_sharding(self, a):
+        """NamedSharding for a batch-leading input array; overridden by the
+        combined-mesh problem to also shard field rows over the grid axis."""
+        return batch_sharding(self.mesh)
+
     def _set_phi_Q_mode(self, mode: Optional[str]):
         """Procedural tracking targets (ScenarioBatch.phi_Q=None) need a
         problem class that synthesizes them; the default batched problems
@@ -694,9 +708,9 @@ class _BatchedPGDBase:
         dtype = dtype or self.dtype
         B = scenarios.batch
         shard = (self.mesh is not None
-                 and B % self.mesh.devices.size == 0)
-        sh = batch_sharding(self.mesh) if shard else None
-        as_dev = lambda a: (jax.device_put(jnp.asarray(a, dtype), sh)
+                 and B % self._batch_shards() == 0)
+        as_dev = lambda a: (jax.device_put(jnp.asarray(a, dtype),
+                                           self._input_sharding(jnp.asarray(a)))
                             if shard else jnp.asarray(a, dtype))
         phi0 = as_dev(scenarios.phi0)
         phi_T = as_dev(scenarios.phi_T)
@@ -735,7 +749,7 @@ class _BatchedPGDBase:
             # host np.zeros would ship M*Nx*Ny*B zeros through the tunnel)
             u = jnp.zeros((B,) + self._control_shape, dtype)
             if shard:
-                u = jax.device_put(u, sh)
+                u = jax.device_put(u, self._input_sharding(u))
             phi, ns0 = self._forward_v(u, phi0, phi_Q, phi_T)
             newton_solves += int(np.asarray(ns0).sum())
             cost = self._cost_v(phi, u, phi_Q, phi_T, b1, b2, b3, ks)
@@ -1039,6 +1053,16 @@ def make_batched_problem_2d(fwd_config: Optional[ForwardSolverConfig2D] = None,
     (fused-march fast path).
     """
     cfg = fwd_config or ForwardSolverConfig2D()
+    # combined-mesh arm: a mesh that carries a grid axis means the caller
+    # wants each member's field rows sharded too (grids where one member's
+    # working set outgrows a chip — BASELINE config-5 growth path); route
+    # to the (scenarios, gx) batched problem (parallel/spatial.py)
+    mesh = kwargs.get("mesh")
+    if mesh is not None and "gx" in getattr(mesh, "axis_names", ()):
+        from vch_tpu.parallel.spatial import GridShardedBatchedProblem2D
+        kw = {k: kwargs[k] for k in ("settings", "alpha_max", "mesh")
+              if k in kwargs}
+        return GridShardedBatchedProblem2D(cfg, **kw)
     from vch_tpu.models.timegrid import build_dt_schedule
     M = len(build_dt_schedule(cfg.T, cfg.dt_initial))
     bytes_per = 8 if cfg.dtype == "float64" else 4
