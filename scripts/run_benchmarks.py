@@ -89,9 +89,18 @@ def bench_config_3(iters: int):
     t0 = time.perf_counter()
     res = prob.optimize(max_iter=iters, verbose=False)
     el = time.perf_counter() - t0
+    vs = None
+    bm = os.path.join(REPO, "BASELINE_MEASURED.json")
+    if os.path.exists(bm):
+        ref_iter_s = json.load(open(bm)).get("2d_n64", {}).get(
+            "pgd_iter_s_mean")
+        if ref_iter_s:
+            vs = round(iters / el * ref_iter_s, 2)
     return {"pgd_iters_per_s": iters / el, "final_cost": res.cost_history[-1],
             "iters": iters, "elapsed_s": el, "dtype": dt,
-            "vs_ref_cpu_iter_s": None}
+            "vs_ref_cpu_iter_s": vs,
+            "note": "vs_ref_cpu_iter_s = pgd_iters_per_s * BASELINE_MEASURED "
+                    "2d_n64 pgd_iter_s_mean (measured reference CPU)"}
 
 
 def _tile_batch(sc, batch):
@@ -122,7 +131,7 @@ def _stage(sc, dtype: str):
 
 
 def bench_config_4(iters: int, batch: int = 64, lowmem: bool = False,
-                   trips: int = None):
+                   trips: int = None, K: int = 10):
     """BASELINE config 4: 2D 128x128 batched scenarios, one chip/host.
 
     Measured (not estimated) Newton-solve counts come back in
@@ -142,7 +151,7 @@ def bench_config_4(iters: int, batch: int = 64, lowmem: bool = False,
         forward_matmul_precision="high" if dt == "float32" else None,
         **({"krylov_fixed_iters": trips,
             "adjoint_krylov_fixed_iters": 10} if trips else {}))
-    prob = (LowMemBatchedProblem2D(cfg, K=10) if lowmem
+    prob = (LowMemBatchedProblem2D(cfg, K=K) if lowmem
             else BatchedProblem2D(cfg))
     sc = sweep_2d(cfg, b3_values=np.linspace(5e-5, 2e-4, max(1, batch // 8)),
                   kappa_values=np.linspace(5e-5, 2e-4, 8),
@@ -162,7 +171,7 @@ def bench_config_4(iters: int, batch: int = 64, lowmem: bool = False,
     prog_mem = prob.trial_memory_analysis(sc)
     return {"scenario_iters_per_s": round(batch * iters / el, 4),
             "batch": batch, "grid": "128x128", "iters": iters,
-            "lowmem": lowmem, "krylov_trips": trips or cfg.krylov_fixed_iters,
+            "lowmem": lowmem, "lowmem_K": K if lowmem else None, "krylov_trips": trips or cfg.krylov_fixed_iters,
             "elapsed_s": round(el, 2), "dtype": dt,
             "newton_solves": int(out["newton_solves"]),
             "newton_solves_per_s": round(out["newton_solves"] / el, 1),
@@ -202,6 +211,7 @@ def bench_config_5(iters: int, batch: int = 8, K: int = 10):
     return {"scenario_iters_per_s": round(batch * iters / el, 4),
             "batch": batch, "grid": "256x256", "lowmem_K": K,
             "iters": iters, "elapsed_s": round(el, 2), "dtype": dt,
+            "timers": {k: round(v, 2) for k, v in out["timers"].items()},
             "newton_solves": int(out["newton_solves"]),
             "newton_solves_per_s": round(out["newton_solves"] / el, 1),
             "mean_final_cost": float(out["cost_history"][-1].mean()),
@@ -247,6 +257,7 @@ def main():
         print(json.dumps(results[key], indent=1), flush=True)
         with open(path, "w") as f:
             json.dump(results, f, indent=1)
+            f.write("\n")
 
 
 if __name__ == "__main__":

@@ -152,6 +152,37 @@ def test_batched_metrics_jsonl_and_advisor(tmp_path):
     assert np.isfinite(adv).all() and (adv > 0).all()
 
 
+def test_batched_2d_mesh_straggler_bucketing_matches_full():
+    """Per-DEVICE straggler compaction under the scenario mesh (shard-local
+    gather/scatter inside shard_map, VERDICT round-3 weak #2) reproduces the
+    full-batch masked-merge mesh run exactly, with fewer Newton solves.
+    Each device buckets its own stragglers by LOCAL index — no collectives."""
+    from vch_tpu.parallel.mesh import make_mesh
+
+    cfg = ForwardSolverConfig2D(Nx=16, Ny=16, T=0.15)
+    B = 24    # 3 members per device on the 8-device mesh
+    mk = lambda: sweep_2d(cfg, b3_values=[5e-5, 1e-4, 2e-4, 4e-4],
+                          kappa_values=[5e-5, 1e-4, 1.5e-4, 2e-4, 3e-4,
+                                        4e-4])
+    assert mk().batch == B
+    mesh = make_mesh()
+    out_full = BatchedProblem2D(cfg, alpha_max=2000.0, mesh=mesh).run(
+        mk(), max_iter=8, verbose=False)
+    prob = BatchedProblem2D(cfg, alpha_max=2000.0, mesh=mesh,
+                            straggler_batch=1)
+    out_sub = prob.run(mk(), max_iter=8, verbose=False)
+    assert prob.straggler_rounds > 0, (
+        "per-device compaction never engaged; tune the scenario so some "
+        "backtracking round has <= straggler_batch stragglers per device")
+    np.testing.assert_allclose(out_sub["cost_history"],
+                               out_full["cost_history"], rtol=1e-11)
+    np.testing.assert_allclose(out_sub["u"], out_full["u"], rtol=0,
+                               atol=1e-12)
+    np.testing.assert_allclose(out_sub["alpha"], out_full["alpha"],
+                               rtol=1e-12)
+    assert out_sub["newton_solves"] < out_full["newton_solves"]
+
+
 def test_batched_2d_straggler_compaction_matches_full():
     """Straggler compaction (sub-batch backtracking rounds) is an identical-
     semantics optimization: gathered trial + scatter must reproduce the
