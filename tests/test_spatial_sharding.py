@@ -205,6 +205,25 @@ def test_batched_grid_sharded_forward_adjoint_parity():
         assert np.abs(np.asarray(r)[i] - np.asarray(r0)).max() < 1e-10 * scale
 
 
+def test_make_batched_problem_combined_mesh_arm():
+    """make_batched_problem_2d routes a mesh that carries a 'gx' axis to
+    the combined-mesh batched problem (VERDICT round-3 next #1 chooser)."""
+    import jax
+    from jax.sharding import Mesh
+
+    from vch_tpu.config import ForwardSolverConfig2D
+    from vch_tpu.parallel.batch import make_batched_problem_2d
+    from vch_tpu.parallel.spatial import GridShardedBatchedProblem2D
+
+    mesh = Mesh(np.array(jax.devices()[:8]).reshape(4, 2),
+                ("scenarios", "gx"))
+    prob = make_batched_problem_2d(
+        ForwardSolverConfig2D(Nx=31, Ny=24, T=0.04, dt_initial=1e-2),
+        batch=4, mesh=mesh)
+    assert isinstance(prob, GridShardedBatchedProblem2D)
+    assert prob.mesh is mesh
+
+
 @pytest.mark.slow
 def test_batched_grid_sharded_pgd_matches_unsharded_batched():
     """Full batched PGD on the combined (4 scenarios x 2 gx) mesh ==

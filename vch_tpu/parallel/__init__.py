@@ -10,7 +10,13 @@ from vch_tpu.parallel.mesh import make_mesh, shard_batch, batch_sharding
 from vch_tpu.parallel.batch import (BatchedProblem1D, BatchedProblem2D,
                                     LowMemBatchedProblem2D,
                                     make_batched_problem_2d)
+from vch_tpu.parallel.spatial import (GridShardedAdjoint2D,
+                                      GridShardedBatchedProblem2D,
+                                      GridShardedForward2D,
+                                      GridShardedProblem2D)
 
 __all__ = ["make_mesh", "shard_batch", "batch_sharding",
            "BatchedProblem1D", "BatchedProblem2D",
-           "LowMemBatchedProblem2D", "make_batched_problem_2d"]
+           "LowMemBatchedProblem2D", "make_batched_problem_2d",
+           "GridShardedForward2D", "GridShardedAdjoint2D",
+           "GridShardedProblem2D", "GridShardedBatchedProblem2D"]

@@ -326,9 +326,15 @@ class _BatchedPGDBase:
             self._gather_local_v = jax.jit(jax.shard_map(
                 _gather_local, mesh=self.mesh, in_specs=spec,
                 out_specs=spec, check_vma=False))
-            self._scatter_local_v = jax.jit(jax.shard_map(
-                _scatter_local, mesh=self.mesh, in_specs=spec,
-                out_specs=spec, check_vma=False))
+            _sc = jax.shard_map(_scatter_local, mesh=self.mesh,
+                                in_specs=spec, out_specs=spec,
+                                check_vma=False)
+            # donate the previous selection like the global scatter: after
+            # the masked write it is never referenced again (TPU only;
+            # donation is unimplemented on CPU and would just warn)
+            self._scatter_local_v = (jax.jit(_sc, donate_argnums=(0,))
+                                     if jax.default_backend() == "tpu"
+                                     else jax.jit(_sc))
         else:
             self._gather_local_v = None
             self._scatter_local_v = None

@@ -596,6 +596,10 @@ class GridShardedAdjoint2D:
     def run(self, phi_hist, t_hist, b1: float, b2: float,
             phi_Q=None, phi_T_target=None):
         """AdjointSolver2D.run-compatible surface on the grid mesh."""
+        assert self.batch_axis is None, (
+            "run() is the single-scenario surface; batched sweeps go "
+            "through run_impl() with (B,)-shaped b1/b2 "
+            "(GridShardedBatchedProblem2D)")
         d = self.dtype
         phi_hist = jnp.asarray(phi_hist, d)
         dts = np.diff(np.asarray(t_hist, np.float64))
