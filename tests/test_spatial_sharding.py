@@ -205,6 +205,34 @@ def test_batched_grid_sharded_forward_adjoint_parity():
         assert np.abs(np.asarray(r)[i] - np.asarray(r0)).max() < 1e-10 * scale
 
 
+def test_batched_grid_sharded_checkpoint_resume(tmp_path):
+    """Checkpoint/resume works on the combined (scenarios, gx) mesh: the
+    resume path re-places state through the rank-based input shardings and
+    lands on the same final iterate as an uninterrupted run."""
+    import jax
+    from jax.sharding import Mesh
+
+    from vch_tpu.config import ForwardSolverConfig2D
+    from vch_tpu.parallel.spatial import GridShardedBatchedProblem2D
+
+    cfg = ForwardSolverConfig2D(Nx=15, Ny=16, T=0.03, dt_initial=1e-2)
+    mesh = Mesh(np.array(jax.devices()[:8]).reshape(4, 2),
+                ("scenarios", "gx"))
+    sc = _diversified_sweep_2d(cfg, 4)
+    full = GridShardedBatchedProblem2D(cfg, mesh=mesh).run(
+        sc, max_iter=3, verbose=False)
+
+    ckpt = str(tmp_path / "pgd_gs.npz")
+    prob = GridShardedBatchedProblem2D(cfg, mesh=mesh)
+    prob.run(sc, max_iter=2, verbose=False,
+             checkpoint_path=ckpt, checkpoint_every=2)
+    resumed = prob.run(sc, max_iter=3, verbose=False,
+                       checkpoint_path=ckpt, resume=True)
+    assert np.allclose(resumed["u"], full["u"], atol=1e-12)
+    assert np.allclose(resumed["cost_history"][-1],
+                       full["cost_history"][-1], rtol=1e-12)
+
+
 def test_make_batched_problem_combined_mesh_arm():
     """make_batched_problem_2d routes a mesh that carries a 'gx' axis to
     the combined-mesh batched problem (VERDICT round-3 next #1 chooser)."""
