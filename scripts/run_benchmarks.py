@@ -227,6 +227,7 @@ def main():
     batch = None
     lowmem = False
     trips = None
+    K = None
     for a in sys.argv[1:]:
         if a.startswith("--iters"):
             iters = int(a.split("=")[1])
@@ -234,6 +235,8 @@ def main():
             batch = int(a.split("=")[1])
         if a.startswith("--trips"):
             trips = int(a.split("=")[1])
+        if a.startswith("--K"):
+            K = int(a.split("=")[1])
         if a == "--lowmem":
             lowmem = True
     configs = [int(a) for a in args] or [1, 3]
@@ -253,6 +256,9 @@ def main():
             key = "config_4_lowmem"
         if c == 4 and trips:
             kw["trips"] = trips
+        if K is not None and (c == 5 or (c == 4 and lowmem)):
+            kw["K"] = K
+            key += f"_K{K}"
         results[key] = fns[c](iters, **kw)
         print(json.dumps(results[key], indent=1), flush=True)
         with open(path, "w") as f:

@@ -118,13 +118,16 @@ def bicgstab(apply_A: Callable, b: jnp.ndarray, apply_M: Callable,
     atol2 = (tol * jnp.maximum(b_norm, 1e-300)) ** 2
     eps_div = jnp.asarray(1e-300 if dtype == jnp.float64 else 1e-30, dtype)
 
+    # the residual norm rides the carry: cond reads it for free and the
+    # body computes it once per trip for the NEXT test (the distributed
+    # dot is a psum on the grid-sharded path — one collective saved/trip)
     def cond(carry):
-        x, r, p, v, rho, alpha, omega, k = carry
-        pred = (dot(r, r) > atol2) & (k < max_iter)
+        x, r, p, v, rho, alpha, omega, rr, k = carry
+        pred = (rr > atol2) & (k < max_iter)
         return sync_pred(pred) if sync_pred is not None else pred
 
     def body(carry):
-        x, r, p, v, rho, alpha, omega, k = carry
+        x, r, p, v, rho, alpha, omega, rr, k = carry
         rho_new = dot(rhat, r)
         beta = (rho_new / (rho + eps_div)) * (alpha / (omega + eps_div))
         p_n = r + beta * (p - omega * v)
@@ -137,19 +140,20 @@ def bicgstab(apply_A: Callable, b: jnp.ndarray, apply_M: Callable,
         omega_n = dot(t, s) / (dot(t, t) + eps_div)
         x_n = x + alpha_n * phat + omega_n * shat
         r_n = s - omega_n * t
+        rr_n = dot(r_n, r_n)
         if sync_pred is not None:
             # freeze members already at tolerance: lockstep extra trips
             # (forced by the globally OR'd predicate) must not perturb them
-            active = dot(r, r) > atol2
+            active = rr > atol2
             sel = lambda new, old: jnp.where(active, new, old)
             return (sel(x_n, x), sel(r_n, r), sel(p_n, p), sel(v_n, v),
                     sel(rho_new, rho), sel(alpha_n, alpha),
-                    sel(omega_n, omega), k + 1)
-        return (x_n, r_n, p_n, v_n, rho_new, alpha_n, omega_n, k + 1)
+                    sel(omega_n, omega), sel(rr_n, rr), k + 1)
+        return (x_n, r_n, p_n, v_n, rho_new, alpha_n, omega_n, rr_n, k + 1)
 
     one = jnp.asarray(1.0, dtype)
     init = (x, r, jnp.zeros_like(b), jnp.zeros_like(b), one, one, one,
-            jnp.asarray(0, jnp.int32))
+            dot(r, r), jnp.asarray(0, jnp.int32))
     out = jax.lax.while_loop(cond, body, init)
     return out[0]
 

@@ -223,10 +223,14 @@ class _BatchedPGDBase:
             return jax.tree_util.tree_map(sel, new, old)
 
         def _change(u1, u):
+            # axis-wise reduction, NOT reshape(B, -1)+norm: a reshape that
+            # merges a sharded field axis into the flattened dim forces a
+            # gather on the combined (scenarios, gx) mesh; the sum-of-
+            # squares form reduces in place under any sharding
             axes = tuple(range(1, u.ndim))
-            return (jnp.linalg.norm((u1 - u).reshape(u.shape[0], -1), axis=1)
-                    / (jnp.linalg.norm(u.reshape(u.shape[0], -1), axis=1)
-                       + 1e-9))
+            num = jnp.sqrt(jnp.sum((u1 - u) ** 2, axis=axes))
+            den = jnp.sqrt(jnp.sum(u ** 2, axis=axes)) + 1e-9
+            return num / den
 
         def _chunked(fn):
             """Wrap a jitted batch-axis fn to execute chunk_size members per
@@ -311,22 +315,13 @@ class _BatchedPGDBase:
             from jax.sharding import PartitionSpec as P
             spec = P(BATCH_AXIS)
 
-            def _gather_local(idx_l, *trees):
-                take = lambda a: (None if a is None
-                                  else jnp.take(a, idx_l, axis=0))
-                return jax.tree_util.tree_map(take, trees)
-
-            def _scatter_local(res, out_sub, idx_l, take_sub):
-                def upd(full, sub):
-                    m = take_sub.reshape((-1,) + (1,) * (sub.ndim - 1))
-                    return full.at[idx_l].set(
-                        jnp.where(m, sub, full[idx_l]))
-                return jax.tree_util.tree_map(upd, res, out_sub)
-
+            # the SAME _gather/_scatter bodies as the single-chip path,
+            # wrapped in shard_map so each device applies them to its own
+            # block with LOCAL indices — one definition serves both paths
             self._gather_local_v = jax.jit(jax.shard_map(
-                _gather_local, mesh=self.mesh, in_specs=spec,
+                _gather, mesh=self.mesh, in_specs=spec,
                 out_specs=spec, check_vma=False))
-            _sc = jax.shard_map(_scatter_local, mesh=self.mesh,
+            _sc = jax.shard_map(_scatter, mesh=self.mesh,
                                 in_specs=spec, out_specs=spec,
                                 check_vma=False)
             # donate the previous selection like the global scatter: after
@@ -749,7 +744,15 @@ class _BatchedPGDBase:
         self.u_min, self.u_max = scenarios.u_min, scenarios.u_max
         if scenarios.phi_Q is None:
             self._set_phi_Q_mode(scenarios.phi_Q_mode)
-        as_dev = lambda a: None if a is None else jnp.asarray(a, dtype)
+        # place inputs EXACTLY as run() will (sharded on the mesh): a mesh
+        # prewarm with unsharded arrays would pile the full batch on one
+        # device AND compile throwaway cache entries keyed by the wrong
+        # shardings
+        shard = (self.mesh is not None and B % self._batch_shards() == 0)
+        as_dev = lambda a: (None if a is None else
+                            (jax.device_put(jnp.asarray(a, dtype),
+                                            self._input_sharding(a))
+                             if shard else jnp.asarray(a, dtype)))
         phi0 = as_dev(scenarios.phi0)
         phi_Q = as_dev(scenarios.phi_Q)
         phi_T = as_dev(scenarios.phi_T)
@@ -757,6 +760,9 @@ class _BatchedPGDBase:
         b3, ks = as_dev(scenarios.b3), as_dev(scenarios.kappa_spar)
         u = jnp.zeros((B,) + self._control_shape, dtype)
         r = jnp.zeros_like(u)
+        if shard:
+            u = jax.device_put(u, self._input_sharding(u))
+            r = jax.device_put(r, self._input_sharding(r))
         alpha = jnp.ones((B,), dtype)
         # full-batch trial supplies a correctly-shaped `res` for the
         # scatter programs (and is itself compiled here if run() hasn't)
@@ -826,8 +832,18 @@ class _BatchedPGDBase:
         B = scenarios.batch
         shard = (self.mesh is not None
                  and B % self._batch_shards() == 0)
+        if (not shard and self.mesh is not None
+                and getattr(self, "_requires_divisible_batch", False)):
+            raise ValueError(
+                f"batch {B} is not divisible by the mesh's scenario-axis "
+                f"size {self._batch_shards()}; the combined (scenarios, gx) "
+                f"mesh programs are shard_map-partitioned and have no "
+                f"unsharded fallback — pad or trim the sweep")
+        # _input_sharding only inspects the rank; pass the HOST array (an
+        # eager jnp.asarray here would ship e.g. a 430 MB phi_Q through the
+        # axon tunnel once more per run, on the staging-dominated path)
         as_dev = lambda a: (jax.device_put(jnp.asarray(a, dtype),
-                                           self._input_sharding(jnp.asarray(a)))
+                                           self._input_sharding(a))
                             if shard else jnp.asarray(a, dtype))
         phi0 = as_dev(scenarios.phi0)
         phi_T = as_dev(scenarios.phi_T)
@@ -1177,9 +1193,13 @@ def make_batched_problem_2d(fwd_config: Optional[ForwardSolverConfig2D] = None,
     mesh = kwargs.get("mesh")
     if mesh is not None and "gx" in getattr(mesh, "axis_names", ()):
         from vch_tpu.parallel.spatial import GridShardedBatchedProblem2D
-        kw = {k: kwargs[k] for k in ("settings", "alpha_max", "mesh")
-              if k in kwargs}
-        return GridShardedBatchedProblem2D(cfg, **kw)
+        supported = {"settings", "alpha_max", "mesh", "grid_axis"}
+        extra = set(kwargs) - supported
+        if extra:
+            raise ValueError(
+                f"the combined (scenarios, gx) mesh arm does not support "
+                f"{sorted(extra)}; supported kwargs: {sorted(supported)}")
+        return GridShardedBatchedProblem2D(cfg, **kwargs)
     from vch_tpu.models.timegrid import build_dt_schedule
     M = len(build_dt_schedule(cfg.T, cfg.dt_initial))
     bytes_per = 8 if cfg.dtype == "float64" else 4

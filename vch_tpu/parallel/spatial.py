@@ -783,6 +783,10 @@ class GridShardedBatchedProblem2D(_BatchedPGDBase):
 
         self._fused_forward = _fwd
         self._fused_adjoint = _adjoint
+        # the shard_map programs hard-require B divisible by the scenario
+        # axis; run() raises a clear error instead of an opaque shard_map
+        # partition failure (there is no unsharded fallback here)
+        self._requires_divisible_batch = True
         super().__init__(settings or PGDSettings.defaults_2d(), alpha_max,
                          mesh=mesh)
 
@@ -795,10 +799,11 @@ class GridShardedBatchedProblem2D(_BatchedPGDBase):
         """Rank-based placement on the combined mesh: batch over
         "scenarios", field rows over the grid axis. (B,) weights -> P(b);
         (B, nx, ny) phi0/phi_T -> P(b, gx); (B, M+1, nx, ny)
-        u/phi_Q/trajectories -> P(b, None, gx)."""
+        u/phi_Q/trajectories -> P(b, None, gx). `a` may be a host numpy
+        array — only its rank is read (no device transfer)."""
         from vch_tpu.parallel.mesh import BATCH_AXIS
         gx = self.grid_axis
         spec = {1: P(BATCH_AXIS),
                 3: P(BATCH_AXIS, gx, None),
-                4: P(BATCH_AXIS, None, gx, None)}[a.ndim]
+                4: P(BATCH_AXIS, None, gx, None)}[np.ndim(a)]
         return NamedSharding(self.mesh, spec)
