@@ -169,3 +169,48 @@ def test_krylov_trips_invariance_f32():
     phi12, n12 = outs[12]
     assert n4 == n12, (n4, n12)
     np.testing.assert_allclose(phi4, phi12, rtol=0, atol=5e-6)
+
+
+def test_symmetry_preservation_2d():
+    """A mirror-symmetric IC stays mirror-symmetric in BOTH axes under the
+    (symmetric) dynamics (ref test_2d_forward.py:282-299, which
+    monkeypatches init_phi_random to a tiled cosine and asserts fliplr
+    symmetry; we pass initial_phi directly and use a cos*cos profile so
+    both the x- and y-mirror checks are non-trivial — this exercises the
+    transform/stencil symmetry the Pallas kernels re-implement)."""
+    N = 32
+    cfg = ForwardSolverConfig2D(Nx=N, Ny=N, T=0.1)
+    s = ForwardSolver2D(cfg)
+    x = np.linspace(0, cfg.Lx, N + 1)
+    y = np.linspace(0, cfg.Ly, N + 1)
+    xx, yy = np.meshgrid(x, y, indexing="ij")
+    phi0 = 0.4 * np.cos(2 * np.pi * xx / cfg.Lx) * np.cos(
+        2 * np.pi * yy / cfg.Ly)
+    phi_hist, _, _ = s.simulate(initial_phi=phi0)
+    final = np.asarray(phi_hist[-1])
+    assert np.abs(final - final[::-1, :]).max() < 1e-8, "x-mirror broken"
+    assert np.abs(final - final[:, ::-1]).max() < 1e-8, "y-mirror broken"
+
+
+def test_temporal_convergence_order_2d():
+    """Temporal refinement slope in (1, 2.2) vs a dt/8 reference on a short
+    horizon (ref test_2d_forward.py:304-356: base_dt=5e-3, T=5*base_dt,
+    dts = base_dt/{1,2,4}, log-log fit). The convex-concave splitting is
+    formally first order (see the 1D analog's docstring), so the honest
+    lower bound is 1 — exactly the reference's own gate."""
+    base_dt = 5e-3
+    short_T = 5 * base_dt
+    N = 32
+    mk = lambda dt: ForwardSolverConfig2D(Nx=N, Ny=N, T=short_T,
+                                          dt_initial=dt, newton_tol=1e-10)
+    fine = ForwardSolver2D(mk(base_dt / 8.0))
+    phi0 = fine.default_initial_phi()
+    phi_ref = np.asarray(fine.simulate(initial_phi=phi0)[0][-1])
+    dts = np.array([base_dt, base_dt / 2.0, base_dt / 4.0])
+    errs = []
+    for dt in dts:
+        s = ForwardSolver2D(mk(float(dt)))
+        phi = np.asarray(s.simulate(initial_phi=phi0)[0][-1])
+        errs.append(np.linalg.norm(phi - phi_ref))
+    slope, _ = np.polyfit(np.log(dts), np.log(np.array(errs) + 1e-30), 1)
+    assert 1.0 < slope < 2.2, (slope, errs)

@@ -4,6 +4,8 @@ No reference analog (the reference is single-process, SURVEY.md section 2.3);
 gates: batched runs agree with single-scenario runs, and mesh-sharded
 execution agrees with unsharded execution.
 """
+import os
+
 import numpy as np
 import jax
 import pytest
@@ -337,3 +339,22 @@ def test_shard_fused_falls_back_when_batch_indivisible():
         mk(), max_iter=1, verbose=False)
     np.testing.assert_allclose(out_mesh["cost_history"],
                                out_plain["cost_history"], rtol=1e-6)
+
+
+@pytest.mark.skipif(os.environ.get("VCH_RUN_MULTIPROCESS") != "1",
+                    reason="spawns 2 jax.distributed subprocesses (Gloo); "
+                           "opt in with VCH_RUN_MULTIPROCESS=1 (the script "
+                           "is also run standalone: "
+                           "scripts/multiprocess_cpu.py)")
+def test_multiprocess_distributed_matches_single_process():
+    """Two real jax.distributed CPU processes, global scenario batch from
+    process-local shards, 3 batched PGD iterations — costs must match the
+    single-process run to f64 roundoff (scripts/multiprocess_cpu.py,
+    recorded as BENCH_RESULTS `multiprocess_cpu`)."""
+    import subprocess
+    import sys
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    rc = subprocess.run(
+        [sys.executable, os.path.join(repo, "scripts", "multiprocess_cpu.py")],
+        timeout=1500, env={**os.environ, "JAX_PLATFORMS": ""}).returncode
+    assert rc == 0

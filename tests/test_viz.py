@@ -55,3 +55,22 @@ def test_2d_artifacts(tmp_path):
     _nonempty(save_timelapse_2d(phi_hist, x, y, t,
                                 path=str(tmp_path / "tl.gif"), max_frames=4))
     _nonempty(parameter_card({"Nx": 16, "T": 1.0}, path=str(tmp_path / "c.png")))
+
+
+def test_3d_surface_suite(tmp_path):
+    """The x4 3D-surface artifact suite the 2D driver emits (ref
+    visualization_3d.py:82-112; wired into cli.cmd_optimize2d)."""
+    from vch_tpu.viz import generate_all_3d_plots_2d
+    x = y = np.linspace(0, 1, 17)
+    xx, yy = np.meshgrid(x, y, indexing="ij")
+    phi = 0.7 * np.sin(2 * np.pi * xx) * np.cos(np.pi * yy)
+    paths = generate_all_3d_plots_2d(0.1 * phi, 0.5 * phi, phi, -phi, x, y,
+                                     prefix=str(tmp_path) + "/")
+    assert len(paths) == 4
+    names = {os.path.basename(p) for p in paths}
+    assert names == {"3d_plot_initial_state.png",
+                     "3d_plot_natural_evolution.png",
+                     "3d_plot_target_state.png",
+                     "3d_plot_controlled_evolution.png"}
+    for p in paths:
+        _nonempty(p)

@@ -236,10 +236,15 @@ def cmd_optimize2d(args):
           f"controlled {err_ctl:.4f} "
           f"(improvement {(1 - err_ctl / max(err_nat, 1e-12)) * 100:.1f}%)")
     if not args.no_artifacts:
-        from vch_tpu.viz import (plot_comparison_panels_2d,
+        from vch_tpu.viz import (generate_all_3d_plots_2d,
+                                 plot_comparison_panels_2d,
                                  plot_mid_slice_comparison_2d,
                                  save_timelapse_2d, parameter_card)
         phi_final = res.phi_final[-1]
+        # the reference's x4 3D-surface suite (visualization_3d.py:82-112,
+        # emitted by GD2_configured's final analysis)
+        generate_all_3d_plots_2d(prob.phi0, phi_nat, phi_final, tgt,
+                                 prob.x, prob.y, prefix=args.out_prefix)
         plot_comparison_panels_2d(prob.phi0, phi_final,
                                   np.asarray(prob.phi_T_target), prob.x,
                                   prob.y,

@@ -37,6 +37,21 @@ from vch_tpu.models.forward2d import ForwardSolver2D
 from vch_tpu.parallel.mesh import BATCH_AXIS, batch_sharding, make_mesh
 
 
+def _host_read(a):
+    """Fetch a (small) device output for host-side control flow.
+
+    Single-process this is np.asarray. Under multi-process SPMD
+    (jax.distributed, scripts/multiprocess_cpu.py) the search/convergence
+    arrays are sharded over processes and not fully addressable, so they
+    are allgathered first — every process then drives the identical host
+    schedule (the predicates this feeds must agree globally or the
+    lockstep trial programs would diverge)."""
+    if isinstance(a, jax.Array) and not a.is_fully_addressable:
+        from jax.experimental import multihost_utils
+        return np.asarray(multihost_utils.process_allgather(a, tiled=True))
+    return np.asarray(a)
+
+
 def shard_fused(fn, mesh, n_in: int, n_out: int):
     """Run a whole-batch fused-kernel call under `shard_map` over the
     scenario axis: each device executes its OWN (B_local, ...) Pallas
@@ -174,8 +189,13 @@ class _BatchedPGDBase:
         # backtracking, gather them into a smaller compiled trial program
         # instead of re-running (and masking out) the whole batch. Identical
         # semantics, ~B/straggler_batch fewer FLOPs per straggler round; one
-        # extra compile at the sub-batch shape. Single-chip only (a gather
-        # across a sharded batch axis would insert collectives per round).
+        # extra compile at the sub-batch shape. UNITS (advisor round-4): on
+        # a single chip a numeric straggler_batch is a GLOBAL sub-batch
+        # size; under a 1-axis scenario mesh each device gathers its own
+        # local stragglers, so the same number is a PER-DEVICE bucket size
+        # (triggering at up to n_devices x more global stragglers). "auto"
+        # sizes buckets per round either way and is the recommended
+        # setting under a mesh.
         # "auto" = bucketed ladder (smallest power-of-2 bucket >= straggler
         # count each round) — the default on the fused-march path, where a
         # bucket shape compiles in ~1s instead of the scan path's minutes.
@@ -465,8 +485,8 @@ class _BatchedPGDBase:
                 out = self._trial_v(g[0], g[1],
                                     jnp.asarray(alpha_try[idx_glob], dtype),
                                     *g[2:])
-                c_sub = np.asarray(out[2])
-                solves += int(np.asarray(out[3]).sum())
+                c_sub = _host_read(out[2])
+                solves += int(_host_read(out[3]).sum())
                 ok = np.zeros(B, dtype=bool)
                 ok[idx_glob] = c_sub < cost_np[idx_glob]
                 take = searching & (ok | last)
@@ -487,8 +507,8 @@ class _BatchedPGDBase:
                                    b1, b2, b3, ks)
                 out = self._trial_v(g[0], g[1],
                                     jnp.asarray(alpha_try[idx], dtype), *g[2:])
-                c_sub = np.asarray(out[2])
-                solves += int(np.asarray(out[3]).sum())
+                c_sub = _host_read(out[2])
+                solves += int(_host_read(out[3]).sum())
                 ok = np.zeros(B, dtype=bool)
                 ok[idx] = c_sub < cost_np[idx]
                 take = searching & (ok | last)
@@ -497,10 +517,10 @@ class _BatchedPGDBase:
             else:
                 out = self._trial_v(u, r, jnp.asarray(alpha_try, dtype),
                                     phi0, phi_Q, phi_T, b1, b2, b3, ks)
-                c_np = np.asarray(out[2])
+                c_np = _host_read(out[2])
                 # every member executes every round (masked merge); count the
                 # Newton solves actually performed, from the while_loops
-                solves += int(np.asarray(out[3]).sum())
+                solves += int(_host_read(out[3]).sum())
                 ok = c_np < cost_np
                 take = searching & (ok | last)
                 if res is None:
@@ -522,7 +542,7 @@ class _BatchedPGDBase:
                 break
             alpha_try = np.where(searching, nxt, alpha_try)
         u1, phi1, c1 = res
-        return (u1, phi1, np.asarray(c1), res_alpha, n_trials, opt_ok, solves,
+        return (u1, phi1, _host_read(c1), res_alpha, n_trials, opt_ok, solves,
                 phase)
 
     def _search_speculative(self, u, phi_b, cost_np, alpha_prev_np, r, phi0,
@@ -550,8 +570,8 @@ class _BatchedPGDBase:
         t_j = _time.perf_counter()
         out = self._trial_v(u, r, jnp.asarray(alpha_prev_np, dtype),
                             phi0, phi_Q, phi_T, b1, b2, b3, ks)
-        c_np = np.asarray(out[2])
-        solves += int(np.asarray(out[3]).sum())
+        c_np = _host_read(out[2])
+        solves += int(_host_read(out[3]).sum())
         ok = c_np < cost_np
         res = out[:3]
         opt_ok = ok.copy()
@@ -579,8 +599,8 @@ class _BatchedPGDBase:
                                      res_alpha)
                 out = self._trial_v(u, r, jnp.asarray(alpha_try, dtype),
                                     phi0, phi_Q, phi_T, b1, b2, b3, ks)
-                c_np = np.asarray(out[2])
-                solves += int(np.asarray(out[3]).sum())
+                c_np = _host_read(out[2])
+                solves += int(_host_read(out[3]).sum())
                 ok_full = (c_np < cost_np) & searching
                 pos_new = pos + searching
                 fail_out = searching & ~ok_full & (pos_new >= max_trials)
@@ -621,7 +641,7 @@ class _BatchedPGDBase:
             out = self._trial_v(g[0], g[1], jnp.asarray(alpha_rows, dtype),
                                 *g[2:])
             c_rows = np.asarray(out[2])
-            solves += int(np.asarray(out[3]).sum())
+            solves += int(_host_read(out[3]).sum())
             ok_rows = c_rows < cost_np[rows_m]
 
             # per straggler: keep the FIRST succeeding candidate in ladder
@@ -660,7 +680,7 @@ class _BatchedPGDBase:
             phase["backtracking"] += _time.perf_counter() - t_j
 
         u1, phi1, c1 = res
-        return (u1, phi1, np.asarray(c1), res_alpha, n_trials, opt_ok, solves,
+        return (u1, phi1, _host_read(c1), res_alpha, n_trials, opt_ok, solves,
                 phase)
 
     def _straggler_buckets(self, B: int):
@@ -868,7 +888,7 @@ class _BatchedPGDBase:
             state, meta = load_checkpoint(checkpoint_path)
             u = as_dev(state["u"])
             phi, ns0 = self._forward_v(u, phi0, phi_Q, phi_T)
-            newton_solves += int(np.asarray(ns0).sum())
+            newton_solves += int(_host_read(ns0).sum())
             alpha = state["alpha"]
             plateau = state["plateau"].astype(int)
             converged = state["converged"].astype(bool)
@@ -884,10 +904,10 @@ class _BatchedPGDBase:
             if shard:
                 u = jax.device_put(u, self._input_sharding(u))
             phi, ns0 = self._forward_v(u, phi0, phi_Q, phi_T)
-            newton_solves += int(np.asarray(ns0).sum())
+            newton_solves += int(_host_read(ns0).sum())
             cost = self._cost_v(phi, u, phi_Q, phi_T, b1, b2, b3, ks)
             alpha = np.full((B,), self.alpha_max)
-            cost_hist = [np.asarray(cost)]
+            cost_hist = [_host_read(cost)]
             plateau = np.zeros(B, dtype=int)
             converged = np.zeros(B, dtype=bool)
             iters_to_converge = np.full(B, max_iter, dtype=int)
@@ -922,7 +942,7 @@ class _BatchedPGDBase:
             timers["backtracking_total"] += phase["backtracking"]
             newton_solves += solves
             ls_trials += np.asarray(n_trials, dtype=int)
-            ch_np = np.asarray(self._change_v(u, u_prev))
+            ch_np = _host_read(self._change_v(u, u_prev))
 
             if k >= s.advisor_start_iter:
                 advisor_sum += np.where(opt_ok, alpha_prev, 0.0)
@@ -955,7 +975,7 @@ class _BatchedPGDBase:
                 from vch_tpu.utils.checkpoint import save_checkpoint
                 save_checkpoint(
                     checkpoint_path,
-                    {"u": np.asarray(u), "alpha": alpha, "plateau": plateau,
+                    {"u": _host_read(u), "alpha": alpha, "plateau": plateau,
                      "converged": converged,
                      "iters_to_converge": iters_to_converge,
                      "cost_history": np.stack(cost_hist)},
@@ -975,7 +995,7 @@ class _BatchedPGDBase:
         if metrics:
             metrics.log("run_done", timers=timers,
                         newton_solves=newton_solves)
-        to_host = np.asarray if host_results else (lambda a: a)
+        to_host = _host_read if host_results else (lambda a: a)
         return {
             "u": to_host(u), "r": to_host(r),
             "phi": jax.tree_util.tree_map(to_host, phi),
@@ -1191,13 +1211,27 @@ def make_batched_problem_2d(fwd_config: Optional[ForwardSolverConfig2D] = None,
     # working set outgrows a chip — BASELINE config-5 growth path); route
     # to the (scenarios, gx) batched problem (parallel/spatial.py)
     mesh = kwargs.get("mesh")
-    if mesh is not None and "gx" in getattr(mesh, "axis_names", ()):
+    mesh_axes = tuple(getattr(mesh, "axis_names", ())) if mesh else ()
+    extra_axes = [a for a in mesh_axes if a != BATCH_AXIS]
+    if len(extra_axes) > 1:
+        raise ValueError(
+            f"mesh has axes {mesh_axes}; at most one non-'{BATCH_AXIS}' "
+            f"(grid) axis is supported")
+    if extra_axes:
+        # combined-mesh arm: ANY non-scenario mesh axis is the grid axis
+        # (advisor round-4: routing on the literal name 'gx' silently
+        # replicated differently-named grid axes on the vmapped path)
         from vch_tpu.parallel.spatial import GridShardedBatchedProblem2D
+        ga = kwargs.get("grid_axis")
+        if ga is not None and ga != extra_axes[0]:
+            raise ValueError(
+                f"grid_axis={ga!r} not found in mesh axes {mesh_axes}")
+        kwargs.setdefault("grid_axis", extra_axes[0])
         supported = {"settings", "alpha_max", "mesh", "grid_axis"}
         extra = set(kwargs) - supported
         if extra:
             raise ValueError(
-                f"the combined (scenarios, gx) mesh arm does not support "
+                f"the combined (scenarios, grid) mesh arm does not support "
                 f"{sorted(extra)}; supported kwargs: {sorted(supported)}")
         return GridShardedBatchedProblem2D(cfg, **kwargs)
     from vch_tpu.models.timegrid import build_dt_schedule

@@ -5,6 +5,7 @@ from vch_tpu.viz.plots import (
     save_evolution_gif_1d,
     plot_final_imshow_2d,
     plot_surface_2d,
+    generate_all_3d_plots_2d,
     plot_comparison_panels_2d,
     plot_mid_slice_comparison_2d,
     save_timelapse_2d,
@@ -14,7 +15,8 @@ from vch_tpu.viz.plots import (
 
 __all__ = [
     "plot_comparison_1d", "plot_convergence", "save_evolution_gif_1d",
-    "plot_final_imshow_2d", "plot_surface_2d", "plot_comparison_panels_2d",
+    "plot_final_imshow_2d", "plot_surface_2d", "generate_all_3d_plots_2d",
+    "plot_comparison_panels_2d",
     "plot_mid_slice_comparison_2d", "save_timelapse_2d", "parameter_card",
     "format_time_hms",
 ]

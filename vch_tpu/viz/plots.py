@@ -153,6 +153,27 @@ def plot_surface_2d(phi, x, y, title, path, cmap="RdBu_r"):
     return path
 
 
+def generate_all_3d_plots_2d(phi_initial, phi_natural_final,
+                             phi_controlled_final, phi_target, x, y,
+                             prefix=""):
+    """The reference driver's x4 3D-surface artifact suite
+    (ref visualization_3d.py:82-112, called from GD2_configured's final
+    analysis): initial state, natural (u=0) final state, target, and
+    controlled final state, with the reference's titles/filenames.
+    Returns the list of written paths."""
+    panels = [
+        (phi_initial, "1. Initial State (t=0)", "3d_plot_initial_state.png"),
+        (phi_natural_final, "2. Natural Evolution (Final State with u=0)",
+         "3d_plot_natural_evolution.png"),
+        (phi_target, "3. Target State (The Goal)",
+         "3d_plot_target_state.png"),
+        (phi_controlled_final, "4. Controlled Evolution (Final State with u*)",
+         "3d_plot_controlled_evolution.png"),
+    ]
+    return [plot_surface_2d(z, x, y, title, prefix + fname, cmap="viridis")
+            for z, title, fname in panels]
+
+
 def plot_comparison_panels_2d(phi_initial, phi_final, phi_T_target, x, y,
                               path="comparison_2d.png"):
     """4-panel comparison with target contour overlay
