@@ -46,8 +46,14 @@ def main():
     # Defaults match programs already compiled through the axon compile
     # service (it caches by program hash server-side; the local
     # JAX_COMPILATION_CACHE_DIR is set for non-axon environments).
-    N = int(os.environ.get("VCH_BENCH_N", "64"))
-    B = int(os.environ.get("VCH_BENCH_BATCH", "512"))
+    # VCH_BENCH_PROFILE=config4 reproduces the BASELINE.md primary-metric
+    # measurement (2D 128x128, B=128 full-memory fused path, 20-iteration
+    # protocol — BENCH_RESULTS.json config_4); explicit VCH_BENCH_N /
+    # VCH_BENCH_BATCH still override.
+    profile = os.environ.get("VCH_BENCH_PROFILE", "")
+    prof_n, prof_b = ("128", "128") if profile == "config4" else ("64", "512")
+    N = int(os.environ.get("VCH_BENCH_N", prof_n))
+    B = int(os.environ.get("VCH_BENCH_BATCH", prof_b))
     iters = int(os.environ.get("VCH_BENCH_ITERS", "20"))
     on_tpu = jax.default_backend() != "cpu"
     dtype = os.environ.get("VCH_BENCH_DTYPE",

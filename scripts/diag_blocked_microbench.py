@@ -59,6 +59,15 @@ def build(variant: str, n: int, bb: int, k: int):
         GT = GT_ref[:]
 
         def body(_, X):
+            if variant == "serial_one":
+                # single member's dependent chain: the CURRENT per-member
+                # grid-cell design's per-matmul cost
+                y = mm(X[:n, :], C)
+                return jnp.concatenate([y] + [X[n:, :]], axis=0)
+            if variant == "left_mm":
+                # per-member LEFT-multiplies as slices+concat
+                outs = [mm(C, X[b * n:(b + 1) * n, :]) for b in range(bb)]
+                return jnp.concatenate(outs, axis=0)
             if variant == "member_mm":
                 outs = [mm(X[b * n:(b + 1) * n, :], C) for b in range(bb)]
                 return jnp.concatenate(outs, axis=0)
@@ -126,8 +135,9 @@ def main():
     X = jnp.asarray(rng.standard_normal((bb * n, n)) * 0.1, jnp.float32)
 
     results = {}
-    for variant in ("member_mm", "stacked_mm", "swap", "swap_mm", "gdot",
-                    "member_dot"):
+    variants = ("serial_one", "member_mm", "left_mm", "stacked_mm", "swap",
+                "swap_mm", "gdot", "member_dot")
+    for variant in variants:
         run = build(variant, n, bb, args.k)
         out = run(C, G, GT, X)
         jax.block_until_ready(out)
@@ -137,7 +147,7 @@ def main():
         jax.block_until_ready(out)
         el = time.perf_counter() - t0
         us_per_op = el / args.reps / args.k * 1e6
-        us_per_member_op = us_per_op / bb
+        us_per_member_op = us_per_op / (1 if variant == "serial_one" else bb)
         results[variant] = {"us_per_op": round(us_per_op, 4),
                             "us_per_member_op": round(us_per_member_op, 4)}
         print(f"{variant:12s} {us_per_op:9.3f} us/op "

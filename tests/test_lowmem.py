@@ -286,3 +286,34 @@ def test_hbm_chooser_model_cross_checked_against_program_peak():
     assert isinstance(
         make_batched_problem_2d(cfg, batch=B, hbm_limit_bytes=est),
         LowMemBatchedProblem2D)
+
+
+def test_chooser_member_footprint_routes_to_combined_mesh():
+    """When ONE member's lowmem working set exceeds the (synthetic) chip
+    limit and a scenario mesh is provided, make_batched_problem_2d re-meshes
+    the devices into (scenarios, gx) and returns the combined-mesh problem
+    (member-footprint rule, VERDICT round-4 #5); with a big enough limit
+    the same call keeps the cheap vmapped path."""
+    from vch_tpu.parallel.batch import (BatchedProblem2D,
+                                        make_batched_problem_2d)
+    from vch_tpu.parallel.mesh import make_mesh
+    from vch_tpu.parallel.spatial import GridShardedBatchedProblem2D
+
+    cfg = ForwardSolverConfig2D(Nx=16, Ny=16, T=0.05, dtype="float32",
+                                newton_tol=2e-4)
+    mesh = make_mesh()            # 8 virtual devices, 1-axis scenarios
+    # member lowmem working set at this config: a few hundred KB — force
+    # the rule with a tiny synthetic limit
+    p = make_batched_problem_2d(cfg, batch=4, mesh=mesh,
+                                hbm_limit_bytes=64 * 1024)
+    assert isinstance(p, GridShardedBatchedProblem2D)
+    assert set(p.mesh.axis_names) == {"scenarios", "gx"}
+    assert p.mesh.devices.size == 8
+
+    p2 = make_batched_problem_2d(cfg, batch=4, mesh=mesh,
+                                 hbm_limit_bytes=16 * 2**30)
+    assert isinstance(p2, BatchedProblem2D)
+
+    with pytest.raises(ValueError, match="does not fit"):
+        make_batched_problem_2d(cfg, batch=4, mesh=mesh,
+                                hbm_limit_bytes=1024)

@@ -226,3 +226,61 @@ def test_adjoint_fused_bf16x3_solve_matches_highest():
     scale = np.abs(outs["highest"]).max()
     diff = np.abs(outs["highest"] - outs["bf16x3"]).max()
     assert diff < 5e-4 * max(scale, 1e-30), diff / scale
+
+
+def test_fused_march_blocked_matches_per_member():
+    """The member-block-tiled kernel (config.fused_march_block) must agree
+    with the per-member fused kernel member-for-member: same arithmetic per
+    row (stacked right-multiplies / pipelined slice left-multiplies are
+    row-wise identical contractions), lockstep masking makes extra
+    in-block trips exact no-ops, and the measured Newton-solve counters
+    must be EQUAL (the blocked kernel counts only active members)."""
+    solver = _solver()
+    phi0, u = _batch(solver, B=4, useed=3)
+    phi_ref, ns_ref, bad_ref = _fused(solver, u, phi0)
+
+    solver_b = _solver(fused_march_block=2)
+    phi_b, ns_b, bad_b = solver_b.march_fused_batch(u, phi0, interpret=True)
+
+    diff = np.abs(np.asarray(phi_b) - np.asarray(phi_ref)).max()
+    assert diff < 1e-5, diff
+    np.testing.assert_array_equal(np.asarray(ns_b), np.asarray(ns_ref))
+    assert (np.asarray(bad_b) == -1).all()
+
+
+def test_fused_march_blocked_indivisible_falls_back():
+    """B not divisible by the block size routes to the per-member kernel."""
+    solver_b = _solver(fused_march_block=2)
+    phi0, u = _batch(solver_b, B=3, useed=4)
+    phi_b, ns_b, _ = solver_b.march_fused_batch(u, phi0, interpret=True)
+    solver = _solver()
+    phi_ref, ns_ref, _ = _fused(solver, u, phi0)
+    np.testing.assert_array_equal(np.asarray(ns_b), np.asarray(ns_ref))
+    assert np.abs(np.asarray(phi_b) - np.asarray(phi_ref)).max() == 0.0
+
+
+def test_adjoint_fused_blocked_matches_per_member():
+    """The member-block-tiled adjoint kernel must track the per-member
+    fused adjoint to f32 roundoff, member for member, with per-member
+    (b1, b2) weights exercised."""
+    import jax.numpy as jnp
+    from vch_tpu.models.adjoint2d import AdjointSolver2D
+
+    solver = _solver(T=0.04)
+    phi0, u = _batch(solver, B=4, useed=5)
+    phi, _, _ = _fused(solver, u, phi0)
+    dts = jnp.asarray(solver.dts, solver.dtype)
+    b1 = jnp.asarray([5.0, 2.0, 7.5, 4.0], solver.dtype)
+    b2 = jnp.asarray([10.0, 12.0, 8.0, 9.0], solver.dtype)
+    phi_Q = jnp.zeros_like(phi)
+    phi_T = 0.1 * phi0
+    outs = {}
+    for bb in (0, 2):
+        cfg = ForwardSolverConfig2D(Nx=16, Ny=16, T=0.04, dtype="float32",
+                                    newton_tol=2e-4, fused_march_block=bb)
+        adj = AdjointSolver2D(cfg)
+        outs[bb] = np.asarray(adj.adjoint_fused_batch(
+            phi, dts, b1, b2, phi_Q, phi_T, interpret=True))
+    scale = np.abs(outs[0]).max()
+    diff = np.abs(outs[0] - outs[2]).max()
+    assert diff < 1e-5 * max(scale, 1e-30), diff / scale

@@ -34,6 +34,7 @@ class _SolverKnobs(BaseModel):
     krylov_fixed_iters: int = Field(4, gt=0, description="Fixed Krylov trip count used on the float32/TPU path (compiles smaller, no convergence barrier; the Newton while_loop's residual tolerance absorbs the slack). Tuned on-chip at 64x64 B=32: trips 10/8/6/5/4 all produce the identical Newton-solve count and final cost, so 4 is pure speedup (22.8 -> 34.4 scenario-iters/s); 3 stalls the lockstep Newton loop (11 it/s), 2 burns 40% more Newton solves")
     fused_solve_precision: Optional[str] = Field("bf16x3", description="Matmul precision INSIDE the fused-march kernel's Krylov solve only: 'bf16x3' (default — three pipelined single-pass bf16 dots on the (hi, lo) split, reproducing the scan path's validated 'high' arithmetic), 'highest' (6-pass f32), or 'default' (raw 1-pass bf16). Residuals/Laplacians/Armijo trials ALWAYS run at highest — an imprecise solve direction can only cost extra Newton iterations (visible in the measured counters), never accuracy; keeping the RESIDUAL at bf16x3 instead stalls the Armijo accept test near convergence (94 -> 38 it/s at 20 iters). Measured at 64x64 B=32 x 20 iters on-chip: bf16x3 99.2 it/s with +0.02% Newton solves and 3e-4 cost agreement vs highest's 94.1; raw bf16 DOUBLES the Newton solves (252800 vs 126557) for a net 91.0")
     fused_krylov_fixed_iters: Optional[int] = Field(3, gt=0, description="Fixed Krylov trip count inside the fused whole-march kernel (ops/pallas_march.py), where each member runs its OWN Newton loop: a slightly under-converged solve costs only that member an extra Newton iteration, not a lockstep round for the whole batch. Measured at 64x64 B=256 on-chip: trips 3 = 131.8 scenario-iters/s with +0.15% Newton solves vs trips 4 = 120.3 (the scan path's '3 stalls at 11 it/s' was pure vmap-lockstep artifact); trips 2 burns +34% solves for 126.4. None inherits krylov_fixed_iters")
+    fused_march_block: Optional[int] = Field(None, ge=0, description="Member-block tile size of the fused whole-march AND whole-adjoint kernels: Bb > 0 stacks Bb members' fields per grid cell so right-multiplies become one (Bb*n, m) matmul and left-multiplies become Bb MXU-pipelined slice matmuls (measured 213 -> 80/67 ns per member-matmul at 64x64, BENCH_RESULTS blocked_march_microbench), with Newton/Armijo in masked per-member lockstep inside the block (max-of-Bb trips; measured Newton-solve counts unchanged). 0 = one member per cell (the round-3 design). None = AUTO: 8 for grids up to 96 (measured on-chip at 64x64: forward 1.14x, adjoint 1.44x — the pure-Krylov sweep converts the most chain latency), 0 above (at 128x128 the bigger matmuls are already streaming-bound and the stacked lane padding costs more than blocking wins back: forward 0.71x, adjoint 0.99x; BENCH_RESULTS blocked_march_onchip). Batches that do not divide by Bb fall back to the per-member kernel")
     adjoint_solve_precision: Optional[str] = Field(None, description="Matmul precision inside the fused ADJOINT kernel's Krylov operator apply only: None/'highest' (6-pass f32) or 'bf16x3' (pipelined three-dot (hi,lo)-split, ~f32-equivalent arithmetic). Measured at 64x64 B=256 x 20 PGD iters on-chip: adjoint sweep 0.362 -> 0.312 s (14%), end-to-end 223.7 -> 236.2 it/s (+5.6%), gradient r within 8.5e-5 rel (the f32 noise floor), Newton solves +0.57% — but per-member 20-iter final costs diverge up to 1.7% rel (noise-floor gradient perturbations flip discrete line-search decisions on the chaotic T=1 trajectories). Default None -> highest: the ~6% is not worth breaking run-to-run cost comparability; opt in for pure-throughput sweeps")
     adjoint_krylov_fixed_iters: Optional[int] = Field(5, gt=0, description="Fixed Krylov trip count for the ADJOINT step solves on the float32/TPU path. None inherits krylov_fixed_iters. Kept separate because the adjoint operator is condition-1e6 and has NO outer Newton loop to absorb an under-converged solve. The warm-started split-preconditioned solve is noise-floor-converged by 4 trips (f32-vs-f64 gradient relmax 1.4e-4/4.4e-4/2.8e-3 at 32/64/128 grids, trips-independent down to 4), and 20-iteration B=32 PGD runs at trips 4/5/6 produce BIT-IDENTICAL trajectories (same 126557 Newton solves, same costs; 104.5/94.1/85.1 it/s). 5 = one-trip margin above the measured floor")
     linsolve_1d: str = Field("auto", description="1D Newton/adjoint linear solver: 'dense' (exact LU, reference parity), 'spectral' (matrix-free cosine-preconditioned BiCGStab), or 'auto' (dense for f64 N<=256, spectral otherwise)")
@@ -102,6 +103,15 @@ class ForwardSolverConfig2D(_SolverKnobs):
         if c2_val <= c1_val:
             raise ValueError(f"c2 ({c2_val}) must be greater than c1 ({c1_val})")
         return c2_val
+
+    def resolved_fused_block(self) -> int:
+        """Member-block size of the fused kernels after the auto rule
+        (see fused_march_block: blocking wins only while the per-member
+        matmuls are latency-bound, i.e. small grids)."""
+        bb = self.fused_march_block
+        if bb is None:
+            return 8 if max(self.Nx, self.Ny) <= 96 else 0
+        return bb
 
 
 # The reference names both dim variants `ForwardSolverConfig`; keep an alias so

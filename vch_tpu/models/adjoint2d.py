@@ -176,10 +176,24 @@ class AdjointSolver2D:
         Returns r (B, M+1, ...) — the gradient channel only (what the
         batched PGD consumes); semantics match vmap(_run_impl)[2].
         """
-        from vch_tpu.ops.pallas_march import adjoint_fused_2d
+        from vch_tpu.ops.pallas_march import (adjoint_fused_2d,
+                                              adjoint_fused_2d_blocked)
         assert self._krylov_fixed is not None
         cfg = self.config
         op = self.op
+        bb = cfg.resolved_fused_block()
+        if bb and phi_T.shape[0] % bb == 0:
+            # member-block-tiled adjoint (config.fused_march_block): the
+            # sweep is the pure dependent-Krylov-chain case, where stacked
+            # member tiles convert the most latency (see
+            # _adjoint_kernel_factory_blocked)
+            return adjoint_fused_2d_blocked(
+                dts, phi_hist, phi_Q, phi_T, b1, b2, op.Lx, op.Ly.T,
+                op.Vx_inv, op.Vy_inv.T, op.Vx, op.Vy.T, op.lam,
+                cfg.tau, cfg.gamma, cfg.c1, cfg.c2, self._krylov_fixed,
+                interpret=interpret,
+                solve_prec=getattr(cfg, "adjoint_solve_precision", None)
+                or "highest", block_b=bb)
         return adjoint_fused_2d(
             dts, phi_hist, phi_Q, phi_T, b1, b2, op.Lx, op.Ly.T,
             op.Vx_inv, op.Vy_inv.T, op.Vx, op.Vy.T, op.lam,

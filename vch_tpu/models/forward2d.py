@@ -328,12 +328,28 @@ class ForwardSolver2D:
         runs its own Newton/Armijo trip counts (no vmap lockstep) and the
         whole time loop stays VMEM-resident.
         """
-        from vch_tpu.ops.pallas_march import march_fused_2d
+        from vch_tpu.ops.pallas_march import (march_fused_2d,
+                                              march_fused_2d_blocked)
         assert self._krylov_fixed is not None, (
             "fused march is the fixed-trip (f32/TPU) path")
         cfg = self.config
         op = self.op
         trips = cfg.fused_krylov_fixed_iters or self._krylov_fixed
+        bb = cfg.resolved_fused_block()
+        if bb and phi0.shape[0] % bb == 0:
+            # member-block-tiled kernel (config.fused_march_block): bigger
+            # MXU tiles, masked per-member lockstep inside each Bb-block
+            return march_fused_2d_blocked(
+                jnp.asarray(self.dts, self.dtype), phi0, u, op.Lx, op.Ly.T,
+                op.Vx_inv, op.Vy_inv.T, op.Vx, op.Vy.T, op.lam,
+                jnp.asarray(self._wts_h, self.dtype), cfg.tau, cfg.c1,
+                cfg.c2, cfg.kappa, cfg.gamma, DELTA_SEP, cfg.Lx * cfg.Ly,
+                cfg.newton_tol, self._rtol, cfg.newton_max_iter,
+                trips, stagnation_exit=self._stagnation,
+                interpret=interpret,
+                solve_prec=getattr(cfg, "fused_solve_precision", None)
+                or "highest",
+                fwd_mm="highest", block_b=bb)
         return march_fused_2d(
             jnp.asarray(self.dts, self.dtype), phi0, u, op.Lx, op.Ly.T,
             op.Vx_inv, op.Vy_inv.T, op.Vx, op.Vy.T, op.lam,

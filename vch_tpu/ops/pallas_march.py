@@ -1262,3 +1262,705 @@ def march_fused_1d(dts, phi0, u, LT, VinvT, VT, lam, wts,
     phi_hist = jnp.concatenate([phi0[:, None],
                                 jnp.swapaxes(hist_tm, 0, 1)], axis=1)
     return phi_hist, ns[:, 0], bad[:, 0]
+
+
+# ---------------------------------------------------------------------------
+# Member-BLOCK-tiled 2D fused march: Bb members per grid cell
+# ---------------------------------------------------------------------------
+
+def _march_kernel_factory_blocked(M: int, tau: float, c1: float, c2: float,
+                                  kappa: float, gamma: float,
+                                  delta_sep: float, area: float,
+                                  newton_tol: float, newton_rtol: float,
+                                  newton_max_iter: int, n_trips: int,
+                                  stagnation_exit: bool, eps_mach: float,
+                                  Bb: int, n: int, m: int,
+                                  solve_prec: str = "highest",
+                                  fwd_mm: str = "highest"):
+    """Blocked variant of _march_kernel_factory: Bb members share one grid
+    cell, their fields stacked (Bb*n, m) in VMEM scratch.
+
+    Why (measured, BENCH_RESULTS blocked_march_microbench): the per-member
+    kernel's dependent (n,n)@(n,n) matmul chain costs 213 ns/matmul at
+    64x64 — latency, not FLOPs. Stacking turns every right-multiply into
+    ONE (Bb*n, m) matmul (80 ns/member) and every left-multiply into Bb
+    INDEPENDENT per-member slice matmuls that the MXU pipelines
+    (67 ns/member). No member transposes anywhere (a (Bb,n,m) swapaxes
+    costs 224 ns/member — what sank the round-2 member-tiled attempt), and
+    per-member reductions are unrolled rank-0 scalars (~free).
+
+    Newton/Armijo run in masked LOCKSTEP across the block's Bb members
+    (same pattern as the 1D kernel): a member's carry freezes once its own
+    exit fires, so per-member semantics — tolerances, best-trial Armijo
+    fallback, stagnation exits, measured solve counts — are identical to
+    the per-member kernel; the block merely executes max-of-Bb trips.
+    """
+    log_eps = max(1e-8, 0.5 * delta_sep)
+    lo, hi = -1.0 + delta_sep, 1.0 - delta_sep
+    dsep2 = 1.0 - delta_sep * delta_sep
+    R = range(Bb)
+
+    def kernel(dts_ref, phi0_ref, u_n_ref, u_np1_ref, Lx_ref, LyT_ref,
+               Vxi_ref, VyiT_ref, Vx_ref, VyT_ref, lam_ref, wts_ref,
+               hist_ref, ns_ref, bad_ref,
+               phi_s, mu_s, w_s, m0_s):
+        g = pl.program_id(0)
+        t_step = pl.program_id(1)
+        Lx = Lx_ref[:]
+        LyT = LyT_ref[:]
+        Vxi = Vxi_ref[:]
+        VyiT = VyiT_ref[:]
+        Vx = Vx_ref[:]
+        VyT = VyT_ref[:]
+        lam = lam_ref[:]
+        wts = wts_ref[:]
+        dt_ = lam.dtype
+        mm = _make_mm(dt_, fwd_mm)
+
+        sl = lambda X, b: X[b * n:(b + 1) * n, :]
+        cat = lambda xs: jnp.concatenate(xs, axis=0)
+
+        def mml(A, X):
+            # per-member LEFT-multiplies: Bb independent matmuls (MXU
+            # pipelines them), reassembled by concat
+            return cat([mm(A, sl(X, b)) for b in R])
+
+        def lap(X):
+            return mml(Lx, X) + mm(X, LyT)
+
+        def to_s(X):
+            return mm(mml(Vxi, X), VyiT)
+
+        def from_s(X):
+            return mm(mml(Vx, X), VyT)
+
+        def f_log(phi):
+            ph = jnp.clip(phi, -1.0 + log_eps, 1.0 - log_eps)
+            return jnp.log((1.0 + ph) / (1.0 - ph))
+
+        def dots(a, c):
+            return [jnp.sum(sl(a, b) * sl(c, b)) for b in R]
+
+        def colb(ss):
+            # per-member rank-0 scalars broadcast down each member's row
+            # block: ONE stacked elementwise op then replaces Bb unrolled
+            # slice updates (measured: the unrolled form costs ~0.7 us per
+            # member-trip of VPU/copy overhead)
+            return cat([jnp.full((n, 1), s) for s in ss])
+
+        def colm(ss):
+            # bool masks as float columns (Mosaic rejects i1 vreg
+            # broadcasts: "Invalid vector register cast")
+            onef = jnp.asarray(1.0, dt_)
+            zerof = jnp.asarray(0.0, dt_)
+            return colb([jnp.where(s, onef, zerof) for s in ss]) > 0.5
+
+        # per-member stacks of the (replicated) spectral grids
+        lam_st = cat([lam] * Bb)
+
+        @pl.when(t_step == 0)
+        def _():
+            phi0 = cat([phi0_ref[b] for b in R])
+            phi_s[:] = phi0
+            w_s[:] = jnp.zeros_like(phi0)
+            mu_s[:] = (-kappa * lap(phi0)
+                       + c1 * f_log(phi0) - 2.0 * c2 * phi0)
+            for b in R:
+                m0_s[b] = jnp.sum(sl(phi0, b) * wts)
+                ns_ref[g * Bb + b, 0] = jnp.int32(0)
+                bad_ref[g * Bb + b, 0] = jnp.int32(-1)
+
+        phi_old = phi_s[:]
+        mu_old = mu_s[:]
+        w_old = w_s[:]
+        dt = dts_ref[t_step]
+        inv_dt = 1.0 / dt
+        tau_dt = tau * inv_dt
+
+        gamma_dt = gamma * inv_dt
+        u_n = cat([u_n_ref[b, 0] for b in R])
+        u_np1 = cat([u_np1_ref[b, 0] for b in R])
+        w_new = (((gamma_dt - 0.5) * w_old + 0.5 * (u_np1 + u_n))
+                 / (gamma_dt + 0.5))
+        lap_mu_old = lap(mu_old)
+        lap_phi_old = lap(phi_old)
+        mu_init = (-kappa * lap_phi_old
+                   + c1 * f_log(phi_old) - 2.0 * c2 * phi_old - w_new)
+        f_ccv = -2.0 * c2 * phi_old
+        w_avg = 0.5 * (w_new + w_old)
+
+        def resid(phi, mu):
+            """Stacked CN residuals + per-member norms (list of rank-0)."""
+            lap_mu = lap(mu)
+            lap_phi = lap(phi)
+            Rmu = (phi - phi_old) * inv_dt - 0.5 * (lap_mu + lap_mu_old)
+            Rphi = (tau * inv_dt * (phi - phi_old)
+                    - 0.5 * kappa * (lap_phi + lap_phi_old)
+                    + c1 * f_log(phi) + f_ccv
+                    - 0.5 * (mu + mu_old) - w_avg)
+            norms = [jnp.sqrt(jnp.sum(sl(Rphi, b) ** 2)
+                              + jnp.sum(sl(Rmu, b) ** 2)) for b in R]
+            return norms, Rphi, Rmu
+
+        if solve_prec == "default":
+            one_pass = jax.lax.Precision.DEFAULT
+
+            def mm_s(a, c):
+                return jnp.dot(a, c, preferred_element_type=dt_,
+                               precision=one_pass)
+        elif solve_prec == "bf16x3":
+            mm_s = _make_mm(dt_, "bf16x3")
+        else:
+            mm_s = mm
+
+        def mml_s(A, X):
+            return cat([mm_s(A, sl(X, b)) for b in R])
+
+        def schur_solve(phi, Rphi, Rmu):
+            """Blocked fixed-trip spectral-basis BiCGStab: stacked fields,
+            per-member rank-0 Krylov scalars (bicgstab_fixed freeze /
+            best-iterate / non-finite-rejection policy per member)."""
+            phi_sq = jnp.clip(phi * phi, 0.0, dsep2)
+            d = 2.0 * c1 / (1.0 - phi_sq)
+            poly = inv_dt - tau_dt * lam_st + 0.5 * kappa * lam_st * lam_st
+            denom = cat([poly[b * n:(b + 1) * n, :]
+                         - jnp.mean(sl(d, b)) * lam for b in R])
+
+            def apply_S(yh):
+                w = d * mm_s(mml_s(Vx, yh), VyT)
+                return poly * yh - lam_st * mm_s(mml_s(Vxi, w), VyiT)
+
+            bvec = to_s(lap(Rphi) - Rmu)
+            eps_div = jnp.asarray(1e-30, dt_)
+            one = jnp.asarray(1.0, dt_)
+            r0 = bvec
+            b2 = dots(bvec, bvec)
+            floor2 = [(50.0 * eps_mach) ** 2 * jnp.maximum(b2[b], eps_div)
+                      for b in R]
+
+            def body(_, carry):
+                x, r, p, v, rho, alpha, omega, best_x, best_r2 = carry
+                rr = dots(r, r)
+                active = [rr[b] > floor2[b] for b in R]
+                rho_new = dots(r0, r)
+                beta = [(rho_new[b] / (rho[b] + eps_div))
+                        * (alpha[b] / (omega[b] + eps_div)) for b in R]
+                p_n = r + colb(beta) * (p - colb(omega) * v)
+                phat = p_n / denom
+                v_n = apply_S(phat)
+                rv = dots(r0, v_n)
+                alpha_n = [rho_new[b] / (rv[b] + eps_div) for b in R]
+                a_c = colb(alpha_n)
+                s = r - a_c * v_n
+                shat = s / denom
+                t = apply_S(shat)
+                ts_ = dots(t, s)
+                tt = dots(t, t)
+                omega_n = [ts_[b] / (tt[b] + eps_div) for b in R]
+                o_c = colb(omega_n)
+                x_n = x + a_c * phat + o_c * shat
+                r_n = s - o_c * t
+                r2_n = dots(r_n, r_n)
+                ok = [active[b] & jnp.isfinite(r2_n[b]) for b in R]
+                better = [ok[b] & (r2_n[b] < best_r2[b]) for b in R]
+                ok_c = colm(ok)
+                sel = lambda a, bb_: jnp.where(ok_c, a, bb_)
+                bx = jnp.where(colm(better), x_n, best_x)
+                return (sel(x_n, x), sel(r_n, r), sel(p_n, p), sel(v_n, v),
+                        [jnp.where(ok[b], rho_new[b], rho[b]) for b in R],
+                        [jnp.where(ok[b], alpha_n[b], alpha[b]) for b in R],
+                        [jnp.where(ok[b], omega_n[b], omega[b]) for b in R],
+                        bx,
+                        [jnp.where(better[b], r2_n[b], best_r2[b])
+                         for b in R])
+
+            z = jnp.zeros_like(bvec)
+            ones = [one] * Bb
+            init = (z, r0, z, z, ones, ones, ones, z, b2)
+            out = jax.lax.fori_loop(0, n_trips, body, init)
+            dphi = from_s(out[7])
+            Kpp_dphi = -(0.5 * kappa) * lap(dphi) + (tau_dt + d) * dphi
+            dmu = 2.0 * (Kpp_dphi + Rphi)
+            return dphi, dmu
+
+        def step_ceiling(phi, dphi):
+            big = jnp.asarray(jnp.inf, dt_)
+            ratio_pos = jnp.where(dphi > 0, (hi - phi) / dphi, big)
+            ratio_neg = jnp.where(dphi < 0, (lo - phi) / dphi, big)
+            outs = []
+            for b in R:
+                amax = jnp.minimum(jnp.asarray(2.0, dt_),
+                                   jnp.minimum(
+                                       0.9 * jnp.min(sl(ratio_pos, b)),
+                                       0.9 * jnp.min(sl(ratio_neg, b))))
+                bad_a = ~jnp.isfinite(amax) | (amax <= 0)
+                amax = jnp.where(bad_a, 1.0, amax)
+                outs.append(jnp.minimum(1.0, amax))
+            return outs
+
+        def armijo(phi, mu, dphi, dmu, norm_R, Rphi_R, Rmu_R, act):
+            """Masked-lockstep Armijo over the block: per-member alpha
+            ladder, accept / best-trial-fallback / unchanged exits, and the
+            residual of the returned iterate carried out (per-member kernel
+            semantics; `act` masks members whose Newton already exited)."""
+            eta = 1e-4
+            alpha0 = step_ceiling(phi, dphi)
+            big = jnp.asarray(jnp.inf, dt_)
+            n_act = sum(a.astype(jnp.int32) for a in act)
+
+            def cond_a(c):
+                return (c[-2] > 0) & (c[-1] < 12)
+
+            def body_a(c):
+                (alpha, phi_a, mu_a, aN, aRp, aRm,
+                 best_norm, best_phi, best_mu, bRp, bRm, accepted,
+                 _, j) = c
+                live = [act[b] & ~accepted[b] for b in R]
+                al_c = colb(alpha)
+                phi_t = phi + al_c * dphi
+                mu_t = mu + al_c * dmu
+                norm_t, Rp_t, Rm_t = resid(phi_t, mu_t)
+                better = [live[b] & (norm_t[b] < best_norm[b]) for b in R]
+                bet_c = colm(better)
+                best_norm = [jnp.where(better[b], norm_t[b], best_norm[b])
+                             for b in R]
+                best_phi = jnp.where(bet_c, phi_t, best_phi)
+                best_mu = jnp.where(bet_c, mu_t, best_mu)
+                bRp = jnp.where(bet_c, Rp_t, bRp)
+                bRm = jnp.where(bet_c, Rm_t, bRm)
+                acc_now = [live[b] & (norm_t[b]
+                                      <= (1.0 - eta * alpha[b]) * norm_R[b])
+                           for b in R]
+                acc_c = colm(acc_now)
+                phi_a = jnp.where(acc_c, phi_t, phi_a)
+                mu_a = jnp.where(acc_c, mu_t, mu_a)
+                aN = [jnp.where(acc_now[b], norm_t[b], aN[b]) for b in R]
+                aRp = jnp.where(acc_c, Rp_t, aRp)
+                aRm = jnp.where(acc_c, Rm_t, aRm)
+                accepted = [accepted[b] | acc_now[b] for b in R]
+                alpha = [jnp.where(accepted[b], alpha[b], alpha[b] * 0.5)
+                         for b in R]
+                still = sum((act[b] & ~accepted[b]).astype(jnp.int32)
+                            for b in R)
+                return (alpha, phi_a, mu_a, aN, aRp, aRm,
+                        best_norm, best_phi, best_mu, bRp, bRm, accepted,
+                        still, j + 1)
+
+            init = (alpha0, phi, mu, list(norm_R), Rphi_R, Rmu_R,
+                    [big] * Bb, phi, mu, Rphi_R, Rmu_R,
+                    [jnp.bool_(False)] * Bb, n_act, jnp.int32(0))
+            (_, phi_a, mu_a, aN, aRp, aRm, best_norm, best_phi, best_mu,
+             bRp, bRm, accepted, _, _) = jax.lax.while_loop(
+                cond_a, body_a, init)
+            use_best = [(~accepted[b]) & (best_norm[b] < norm_R[b])
+                        for b in R]
+
+            acc_c2 = colm(accepted)
+            ub_c = colm(use_best)
+
+            def pick3(a, bb_, cc):
+                return jnp.where(acc_c2, a, jnp.where(ub_c, bb_, cc))
+
+            pickN = [jnp.where(accepted[b], aN[b],
+                               jnp.where(use_best[b], best_norm[b],
+                                         norm_R[b])) for b in R]
+            return (pick3(phi_a, best_phi, phi), pick3(mu_a, best_mu, mu),
+                    pickN, pick3(aRp, bRp, Rphi_R), pick3(aRm, bRm, Rmu_R),
+                    accepted)
+
+        # ---- masked-lockstep Newton over the block ----
+        big = jnp.asarray(jnp.inf, dt_)
+        zf = jnp.zeros_like(phi_old)
+
+        def cond_n(c):
+            return (c[-1] > 0) & (c[2] < newton_max_iter)
+
+        def body_n(c):
+            (phi, mu, k, done, norm0, prev_norm, nsolve,
+             nR, Rp, Rm, _) = c
+
+            def fresh(_):
+                return resid(phi, mu)
+
+            norm_R, Rphi, Rmu = jax.lax.cond(
+                k == 0, fresh, lambda a: a, (nR, Rp, Rm))
+            norm0 = [jnp.where(k == 0, norm_R[b], norm0[b]) for b in R]
+            conv = [norm_R[b] < newton_tol for b in R]
+            if newton_rtol > 0:
+                conv = [conv[b] | (norm_R[b] < newton_rtol * norm0[b])
+                        for b in R]
+            if stagnation_exit:
+                conv = [conv[b] | ((k > 0) & (norm_R[b] >= prev_norm[b]))
+                        for b in R]
+            act = [~done[b] & ~conv[b] for b in R]
+            dphi, dmu = schur_solve(phi, Rphi, Rmu)
+            phi_a, mu_a, aN, aRp, aRm, _ = armijo(
+                phi, mu, dphi, dmu, norm_R, Rphi, Rmu, act)
+            act_c = colm(act)
+            phi_n = jnp.where(act_c, phi_a, phi)
+            mu_n = jnp.where(act_c, mu_a, mu)
+            nR_n = [jnp.where(act[b], aN[b], norm_R[b]) for b in R]
+            Rp_n = jnp.where(act_c, aRp, Rphi)
+            Rm_n = jnp.where(act_c, aRm, Rmu)
+            nsolve = [nsolve[b]
+                      + jnp.where(act[b], 1, 0).astype(jnp.int32)
+                      for b in R]
+            done_n = [done[b] | conv[b] for b in R]
+            live = sum((~done_n[b]).astype(jnp.int32) for b in R)
+            # prev_norm carries this iteration's ENTRY norm (the stagnation
+            # test compares successive entry norms, per-member kernel :341)
+            return (phi_n, mu_n, k + 1, done_n, norm0, list(norm_R), nsolve,
+                    nR_n, Rp_n, Rm_n, live)
+
+        init_n = (phi_old, mu_init, jnp.int32(0), [jnp.bool_(False)] * Bb,
+                  [big] * Bb, [big] * Bb, [jnp.int32(0)] * Bb,
+                  [big] * Bb, zf, zf, jnp.int32(Bb))
+        out_n = jax.lax.while_loop(cond_n, body_n, init_n)
+        phi_new, mu_new = out_n[0], out_n[1]
+        nsolves = out_n[6]
+
+        # ---- clip + per-member interior mass correction + sanitizer ----
+        phi_c = jnp.clip(phi_new, lo, hi)
+        for b in R:
+            pb = sl(phi_c, b)
+            mass_error = jnp.sum(wts * pb) - m0_s[b]
+            is_bad = ~jnp.isfinite(mass_error)
+            interior = jnp.abs(pb) < (1.0 - delta_sep - 5e-3)
+            Wint = jnp.sum(jnp.where(interior, wts, 0.0))
+            corrected = jnp.where(interior, pb - mass_error / Wint, pb)
+            fallback = jnp.clip(pb - mass_error / area, lo, hi)
+            needs_fix = jnp.abs(mass_error) > 1e-16
+            pb = jnp.where(needs_fix,
+                           jnp.where(Wint > 0, corrected, fallback), pb)
+            phi_s[b * n:(b + 1) * n, :] = pb
+            hist_ref[b, 0] = pb
+            ns_ref[g * Bb + b, 0] = ns_ref[g * Bb + b, 0] + nsolves[b]
+
+            @pl.when(is_bad & (bad_ref[g * Bb + b, 0] < 0))
+            def _():
+                bad_ref[g * Bb + b, 0] = t_step
+
+        mu_s[:] = mu_new
+        w_s[:] = w_new
+
+    return kernel
+
+
+def march_fused_2d_blocked(dts, phi0, u, Lx, LyT, Vx_inv, Vy_inv_T, Vx, VyT,
+                           lam, wts, tau: float, c1: float, c2: float,
+                           kappa: float, gamma: float, delta_sep: float,
+                           area: float, newton_tol: float,
+                           newton_rtol: float, newton_max_iter: int,
+                           n_trips: int, stagnation_exit: bool = True,
+                           interpret: bool = False,
+                           solve_prec: str = "highest",
+                           fwd_mm: str = "highest", block_b: int = 8):
+    """Member-block-tiled batched 2D forward march (see
+    _march_kernel_factory_blocked). Same contract as march_fused_2d; B
+    must divide by block_b (callers fall back to the per-member kernel
+    otherwise)."""
+    B, n, m = phi0.shape
+    M = u.shape[1] - 1
+    assert dts.shape == (M,), (dts.shape, M)
+    assert B % block_b == 0, (B, block_b)
+    dtype = phi0.dtype
+    eps_mach = 2.2e-16 if dtype == jnp.float64 else 1.2e-7
+
+    kernel = _march_kernel_factory_blocked(
+        M, float(tau), float(c1), float(c2), float(kappa), float(gamma),
+        float(delta_sep), float(area), float(newton_tol), float(newton_rtol),
+        int(newton_max_iter), int(n_trips), bool(stagnation_exit), eps_mach,
+        int(block_b), n, m, solve_prec=solve_prec, fwd_mm=fwd_mm)
+
+    Bb = block_b
+    if _HAS_PLTPU:
+        vmem = pl.BlockSpec(memory_space=pltpu.VMEM)
+        smem = pl.BlockSpec(memory_space=pltpu.SMEM)
+        vspec = lambda shape, idx: pl.BlockSpec(shape, idx,
+                                                memory_space=pltpu.VMEM)
+        scratch = [pltpu.VMEM((Bb * n, m), dtype)] * 3 + [
+            pltpu.SMEM((Bb,), dtype)]
+        params = {} if interpret else {
+            "compiler_params": pltpu.CompilerParams(
+                dimension_semantics=("arbitrary", "arbitrary"),
+                vmem_limit_bytes=100 * 2**20)}
+    else:  # pragma: no cover - CPU interpret-only fallback
+        vmem = pl.BlockSpec()
+        smem = pl.BlockSpec()
+        vspec = lambda shape, idx: pl.BlockSpec(shape, idx)
+        scratch = [pltpu.VMEM((Bb * n, m), dtype)] * 3 + [
+            pltpu.SMEM((Bb,), dtype)] if pltpu else []
+        params = {}
+
+    hist, ns, bad = pl.pallas_call(
+        kernel,
+        grid=(B // Bb, M),
+        in_specs=[
+            smem,                                             # dts (M,)
+            vspec((Bb, n, m), lambda g, t: (g, 0, 0)),        # phi0
+            vspec((Bb, 1, n, m), lambda g, t: (g, t, 0, 0)),      # u_n
+            vspec((Bb, 1, n, m), lambda g, t: (g, t + 1, 0, 0)),  # u_np1
+            vmem, vmem,                                       # Lx, LyT
+            vmem, vmem, vmem, vmem,                           # transforms
+            vmem,                                             # lam
+            vmem,                                             # wts
+        ],
+        out_specs=(
+            vspec((Bb, 1, n, m), lambda g, t: (g, t, 0, 0)),  # phi frames
+            smem,                                             # nsolve (B,1)
+            smem,                                             # first_bad
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((B, M, n, m), dtype),
+            jax.ShapeDtypeStruct((B, 1), jnp.int32),
+            jax.ShapeDtypeStruct((B, 1), jnp.int32),
+        ),
+        scratch_shapes=scratch,
+        interpret=interpret,
+        **params,
+    )(dts, phi0, u, u, Lx, LyT, Vx_inv, Vy_inv_T, Vx, VyT, lam, wts)
+
+    phi_hist = jnp.concatenate([phi0[:, None], hist], axis=1)
+    return phi_hist, ns[:, 0], bad[:, 0]
+
+
+def _adjoint_kernel_factory_blocked(M: int, tau: float, gamma: float,
+                                    c1: float, c2: float, n_trips: int,
+                                    eps_mach: float, Bb: int, n: int, m: int,
+                                    solve_prec: str = "highest"):
+    """Blocked variant of _adjoint_kernel_factory: Bb members' (p, q, r)
+    states stacked (Bb*n, m) per grid cell. The adjoint is the pure
+    dependent-Krylov-chain case (no Newton/Armijo loops to amortize), so
+    member blocking converts more of its wall time than the march's — the
+    same stacked-right / pipelined-slice-left matmul layout as
+    _march_kernel_factory_blocked, per-member scalars as rank-0 lists with
+    float broadcast columns."""
+    fpp_eps = 1e-8
+    R = range(Bb)
+
+    def kernel(dts_ref, b1_ref, b2_ref, phi_n_ref, phi_np1_ref, phiQ_n_ref,
+               phiQ_np1_ref, phiT_ref, Lx_ref, LyT_ref, Vxi_ref, VyiT_ref,
+               Vx_ref, VyT_ref, lam_ref,
+               r_out_ref,
+               p_s, q_s, r_s):
+        g = pl.program_id(0)
+        t = pl.program_id(1)
+        nrev = M - 1 - t
+        Lx = Lx_ref[:]
+        LyT = LyT_ref[:]
+        Vxi = Vxi_ref[:]
+        VyiT = VyiT_ref[:]
+        Vx = Vx_ref[:]
+        VyT = VyT_ref[:]
+        lam = lam_ref[:]
+        dt_ = lam.dtype
+
+        def mm(a, c):
+            return jnp.dot(a, c, preferred_element_type=dt_, precision=_PREC)
+
+        sl = lambda X, b: X[b * n:(b + 1) * n, :]
+        cat = lambda xs: jnp.concatenate(xs, axis=0)
+        mml = lambda A, X: cat([mm(A, sl(X, b)) for b in R])
+
+        def lap(X):
+            return mml(Lx, X) + mm(X, LyT)
+
+        def to_s(X):
+            return mm(mml(Vxi, X), VyiT)
+
+        def from_s(X):
+            return mm(mml(Vx, X), VyT)
+
+        def fpp(phi):
+            ph = jnp.clip(phi, -1.0 + fpp_eps, 1.0 - fpp_eps)
+            return 2.0 * c1 / (1.0 - ph * ph) - 2.0 * c2
+
+        def dots(a, c):
+            return [jnp.sum(sl(a, b) * sl(c, b)) for b in R]
+
+        def colb(ss):
+            return cat([jnp.full((n, 1), s) for s in ss])
+
+        def colm(ss):
+            onef = jnp.asarray(1.0, dt_)
+            zerof = jnp.asarray(0.0, dt_)
+            return colb([jnp.where(s, onef, zerof) for s in ss]) > 0.5
+
+        lam_st = cat([lam] * Bb)
+        b1_c = colb([b1_ref[g * Bb + b] for b in R])
+        phi_np1 = cat([phi_np1_ref[b, 0] for b in R])
+
+        @pl.when(t == 0)
+        def _():
+            b2_c = colb([b2_ref[g * Bb + b] for b in R])
+            phiT = cat([phiT_ref[b] for b in R])
+            rhs_T = b2_c * (phi_np1 - phiT)
+            p_T = from_s(to_s(rhs_T) / (1.0 - tau * lam_st))
+            p_s[:] = p_T
+            q_s[:] = -lap(p_T)
+            r_s[:] = jnp.zeros_like(p_T)
+
+        p_next = p_s[:]
+        q_next = q_s[:]
+        r_next = r_s[:]
+        dt = dts_ref[nrev]
+        half_dt = 0.5 * dt
+
+        phi_n = cat([phi_n_ref[b, 0] for b in R])
+        src_sum = ((phi_n - cat([phiQ_n_ref[b, 0] for b in R]))
+                   + (phi_np1 - cat([phiQ_np1_ref[b, 0] for b in R])))
+        fpp_n = fpp(phi_n)
+        fpp_np1 = fpp(phi_np1)
+        fbar = [jnp.mean(sl(fpp_n, b)) for b in R]
+
+        w1 = lap(p_next)
+        Bp = p_next - tau * w1 - half_dt * lap(w1) + half_dt * fpp_np1 * w1
+        rhs = Bp + half_dt * b1_c * src_sum
+
+        poly = 1.0 - tau * lam_st + half_dt * lam_st * lam_st
+        denom = poly - half_dt * colb(fbar) * lam_st
+        isd = jax.lax.rsqrt(jnp.abs(denom))
+
+        mm_s = _make_mm(dt_, "bf16x3") if solve_prec == "bf16x3" else mm
+        mml_s = lambda A, X: cat([mm_s(A, sl(X, b)) for b in R])
+
+        def to_s_k(X):
+            return mm_s(mml_s(Vxi, X), VyiT)
+
+        def from_s_k(X):
+            return mm_s(mml_s(Vx, X), VyT)
+
+        def apply_At(yh):
+            z = isd * yh
+            w = to_s_k(fpp_n * from_s_k(lam_st * z))
+            return isd * (poly * z - half_dt * w)
+
+        bt = isd * to_s(rhs)
+        y0 = to_s(p_next) / isd
+        eps_div = jnp.asarray(1e-30, dt_)
+        one = jnp.asarray(1.0, dt_)
+        r0 = bt - apply_At(y0)
+        bt2 = dots(bt, bt)
+        floor2 = [(50.0 * eps_mach) ** 2 * jnp.maximum(bt2[b], eps_div)
+                  for b in R]
+
+        def body(_, carry):
+            x, rr, p, v, rho, alpha, omega, best_x, best_r2 = carry
+            rr2 = dots(rr, rr)
+            active = [rr2[b] > floor2[b] for b in R]
+            rho_new = dots(r0, rr)
+            beta = [(rho_new[b] / (rho[b] + eps_div))
+                    * (alpha[b] / (omega[b] + eps_div)) for b in R]
+            p_n_ = rr + colb(beta) * (p - colb(omega) * v)
+            v_n = apply_At(p_n_)
+            rv = dots(r0, v_n)
+            alpha_n = [rho_new[b] / (rv[b] + eps_div) for b in R]
+            a_c = colb(alpha_n)
+            s = rr - a_c * v_n
+            tt_f = apply_At(s)
+            ts_ = dots(tt_f, s)
+            tt2 = dots(tt_f, tt_f)
+            omega_n = [ts_[b] / (tt2[b] + eps_div) for b in R]
+            o_c = colb(omega_n)
+            x_n = x + a_c * p_n_ + o_c * s
+            r_n_ = s - o_c * tt_f
+            r2_n = dots(r_n_, r_n_)
+            ok = [active[b] & jnp.isfinite(r2_n[b]) for b in R]
+            better = [ok[b] & (r2_n[b] < best_r2[b]) for b in R]
+            ok_c = colm(ok)
+            sel = lambda a, bb_: jnp.where(ok_c, a, bb_)
+            bx = jnp.where(colm(better), x_n, best_x)
+            return (sel(x_n, x), sel(r_n_, rr), sel(p_n_, p), sel(v_n, v),
+                    [jnp.where(ok[b], rho_new[b], rho[b]) for b in R],
+                    [jnp.where(ok[b], alpha_n[b], alpha[b]) for b in R],
+                    [jnp.where(ok[b], omega_n[b], omega[b]) for b in R],
+                    bx,
+                    [jnp.where(better[b], r2_n[b], best_r2[b]) for b in R])
+
+        z = jnp.zeros_like(bt)
+        ones = [one] * Bb
+        init = (y0, r0, z, z, ones, ones, ones, y0, dots(r0, r0))
+        out = jax.lax.fori_loop(0, n_trips, body, init)
+        p_n = from_s(isd * out[7])
+
+        q_n = -lap(p_n)
+        den = gamma + half_dt
+        r_n = ((gamma - half_dt) / den * r_next
+               + half_dt / den * (q_n + q_next))
+
+        skip = dt <= 1e-14
+        p_n = jnp.where(skip, p_next, p_n)
+        q_n = jnp.where(skip, q_next, q_n)
+        r_n = jnp.where(skip, r_next, r_n)
+
+        p_s[:] = p_n
+        q_s[:] = q_n
+        r_s[:] = r_n
+        for b in R:
+            r_out_ref[b, 0] = sl(r_n, b)
+
+    return kernel
+
+
+def adjoint_fused_2d_blocked(dts, phi_hist, phi_Q, phi_T, b1, b2,
+                             Lx, LyT, Vx_inv, Vy_inv_T, Vx, VyT, lam,
+                             tau: float, gamma: float, c1: float, c2: float,
+                             n_trips: int, interpret: bool = False,
+                             solve_prec: str = "highest", block_b: int = 8):
+    """Member-block-tiled batched 2D adjoint sweep (same contract as
+    adjoint_fused_2d; B must divide by block_b)."""
+    B, n, m = phi_T.shape
+    M = phi_hist.shape[1] - 1
+    assert dts.shape == (M,), (dts.shape, M)
+    assert B % block_b == 0, (B, block_b)
+    dtype = phi_T.dtype
+    eps_mach = 2.2e-16 if dtype == jnp.float64 else 1.2e-7
+
+    kernel = _adjoint_kernel_factory_blocked(
+        M, float(tau), float(gamma), float(c1), float(c2), int(n_trips),
+        eps_mach, int(block_b), n, m, solve_prec=solve_prec)
+
+    Bb = block_b
+    if _HAS_PLTPU:
+        vmem = pl.BlockSpec(memory_space=pltpu.VMEM)
+        smem = pl.BlockSpec(memory_space=pltpu.SMEM)
+        vspec = lambda shape, idx: pl.BlockSpec(shape, idx,
+                                                memory_space=pltpu.VMEM)
+        scratch = [pltpu.VMEM((Bb * n, m), dtype)] * 3
+        params = {} if interpret else {
+            "compiler_params": pltpu.CompilerParams(
+                dimension_semantics=("arbitrary", "arbitrary"),
+                vmem_limit_bytes=100 * 2**20)}
+    else:  # pragma: no cover
+        vmem = pl.BlockSpec()
+        smem = pl.BlockSpec()
+        vspec = lambda shape, idx: pl.BlockSpec(shape, idx)
+        scratch = []
+        params = {}
+
+    rev = lambda g, t: (g, M - 1 - t, 0, 0)
+    rev1 = lambda g, t: (g, M - t, 0, 0)
+    r_rev = pl.pallas_call(
+        kernel,
+        grid=(B // Bb, M),
+        in_specs=[
+            smem, smem, smem,                          # dts, b1, b2
+            vspec((Bb, 1, n, m), rev),                 # phi_n
+            vspec((Bb, 1, n, m), rev1),                # phi_{n+1}
+            vspec((Bb, 1, n, m), rev),                 # phi_Q_n
+            vspec((Bb, 1, n, m), rev1),                # phi_Q_{n+1}
+            vspec((Bb, n, m), lambda g, t: (g, 0, 0)),  # phi_T
+            vmem, vmem,                                # Lx, LyT
+            vmem, vmem, vmem, vmem,                    # transforms
+            vmem,                                      # lam
+        ],
+        out_specs=vspec((Bb, 1, n, m), rev),
+        out_shape=jax.ShapeDtypeStruct((B, M, n, m), dtype),
+        scratch_shapes=scratch,
+        interpret=interpret,
+        **params,
+    )(dts, b1, b2, phi_hist, phi_hist, phi_Q, phi_Q, phi_T,
+      Lx, LyT, Vx_inv, Vy_inv_T, Vx, VyT, lam)
+
+    r_T = jnp.zeros((B, 1, n, m), dtype)
+    return jnp.concatenate([r_rev, r_T], axis=1)

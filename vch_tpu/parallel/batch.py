@@ -1237,11 +1237,42 @@ def make_batched_problem_2d(fwd_config: Optional[ForwardSolverConfig2D] = None,
     from vch_tpu.models.timegrid import build_dt_schedule
     M = len(build_dt_schedule(cfg.T, cfg.dt_initial))
     bytes_per = 8 if cfg.dtype == "float64" else 4
-    S = batch * (M + 1) * (cfg.Nx + 1) * (cfg.Ny + 1) * bytes_per
+    field = (cfg.Nx + 1) * (cfg.Ny + 1) * bytes_per
+    S = batch * (M + 1) * field
     est = S * (8 if materialized_phi_Q else 7)
     if hbm_limit_bytes is None:
         stats = (jax.local_devices()[0].memory_stats() or {})
         hbm_limit_bytes = stats.get("bytes_limit") or 16 * 2**30
+    # member-footprint rule (VERDICT round-4 #5): when even ONE member's
+    # LOWMEM working set (ceil(M/K)+1 checkpoints + a 2K-frame recompute
+    # segment, ~3 live copies through the search) exceeds the chip,
+    # scenario sharding cannot help — each member's field rows must span
+    # devices. Re-mesh the caller's 1-axis scenario mesh into
+    # (scenarios, gx) with the smallest gx that fits and route to the
+    # combined-mesh problem. It runs the scan-path marcher on full-memory
+    # histories (no fused kernels, no lowmem arm) — a measured ~8x
+    # single-chip throughput tax vs the fused path at 128x128 (BENCH_RESULTS
+    # combined_mesh_tax_onchip), so it is strictly a does-not-fit-otherwise
+    # escape hatch, never a performance choice.
+    member_lowmem = (-(-M // K) + 1 + 2 * K) * field * 3
+    if mesh is not None and member_lowmem > safety * hbm_limit_bytes:
+        from jax.sharding import Mesh
+        from vch_tpu.parallel.spatial import GridShardedBatchedProblem2D
+        devs = mesh.devices.reshape(-1)
+        gx = 2
+        while (gx < devs.size
+               and member_lowmem / gx > safety * hbm_limit_bytes):
+            gx *= 2
+        if devs.size % gx or member_lowmem / gx > safety * hbm_limit_bytes:
+            raise ValueError(
+                f"one member's lowmem working set (~{member_lowmem/2**30:.1f}"
+                f" GiB) does not fit a chip and the {devs.size}-device mesh "
+                f"cannot be factored into (scenarios, gx) with gx={gx}")
+        combined = Mesh(devs.reshape(devs.size // gx, gx),
+                        (BATCH_AXIS, "gx"))
+        kw = {k: v for k, v in kwargs.items()
+              if k in ("settings", "alpha_max")}
+        return GridShardedBatchedProblem2D(cfg, mesh=combined, **kw)
     if est > safety * hbm_limit_bytes:
         return LowMemBatchedProblem2D(cfg, K=K, **kwargs)
     return BatchedProblem2D(cfg, **kwargs)
