@@ -299,8 +299,8 @@ def test_chooser_member_footprint_routes_to_combined_mesh():
     from vch_tpu.parallel.mesh import make_mesh
     from vch_tpu.parallel.spatial import GridShardedBatchedProblem2D
 
-    cfg = ForwardSolverConfig2D(Nx=16, Ny=16, T=0.05, dtype="float32",
-                                newton_tol=2e-4)
+    cfg = ForwardSolverConfig2D(Nx=15, Ny=15, T=0.05, dtype="float32",
+                                newton_tol=2e-4)   # Nx+1=16: gx-divisible
     mesh = make_mesh()            # 8 virtual devices, 1-axis scenarios
     # member lowmem working set at this config: a few hundred KB — force
     # the rule with a tiny synthetic limit

@@ -1259,15 +1259,19 @@ def make_batched_problem_2d(fwd_config: Optional[ForwardSolverConfig2D] = None,
         from jax.sharding import Mesh
         from vch_tpu.parallel.spatial import GridShardedBatchedProblem2D
         devs = mesh.devices.reshape(-1)
+        rows = cfg.Nx + 1
         gx = 2
         while (gx < devs.size
-               and member_lowmem / gx > safety * hbm_limit_bytes):
+               and (member_lowmem / gx > safety * hbm_limit_bytes
+                    or rows % gx)):
             gx *= 2
-        if devs.size % gx or member_lowmem / gx > safety * hbm_limit_bytes:
+        if (devs.size % gx or rows % gx
+                or member_lowmem / gx > safety * hbm_limit_bytes):
             raise ValueError(
                 f"one member's lowmem working set (~{member_lowmem/2**30:.1f}"
                 f" GiB) does not fit a chip and the {devs.size}-device mesh "
-                f"cannot be factored into (scenarios, gx) with gx={gx}")
+                f"cannot be factored into (scenarios, gx) with gx={gx} "
+                f"(gx must divide both the device count and Nx+1={rows})")
         combined = Mesh(devs.reshape(devs.size // gx, gx),
                         (BATCH_AXIS, "gx"))
         kw = {k: v for k, v in kwargs.items()
