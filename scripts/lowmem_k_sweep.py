@@ -48,8 +48,16 @@ def summarize(r):
 
 
 def main():
-    which = sys.argv[1:] or ["4", "5"]
+    # one (config, K) per PROCESS invocation is the reliable mode: running
+    # the four K-variants in one process accumulated device state until a
+    # RESOURCE_EXHAUSTED at config-4 B=192 (each variant compiles its own
+    # segment-shape programs and the freed buffers are not returned to the
+    # allocator promptly under axon). --K=<k> restricts the sweep.
+    which = [a for a in sys.argv[1:] if not a.startswith("--")] or ["4", "5"]
     Ks = [5, 10, 15, 20]
+    for a in sys.argv[1:]:
+        if a.startswith("--K="):
+            Ks = [int(a.split("=")[1])]
     if "4" in which:
         for K in Ks:
             t0 = time.perf_counter()

@@ -1250,10 +1250,10 @@ def make_batched_problem_2d(fwd_config: Optional[ForwardSolverConfig2D] = None,
     # devices. Re-mesh the caller's 1-axis scenario mesh into
     # (scenarios, gx) with the smallest gx that fits and route to the
     # combined-mesh problem. It runs the scan-path marcher on full-memory
-    # histories (no fused kernels, no lowmem arm) — a measured ~8x
-    # single-chip throughput tax vs the fused path at 128x128 (BENCH_RESULTS
-    # combined_mesh_tax_onchip), so it is strictly a does-not-fit-otherwise
-    # escape hatch, never a performance choice.
+    # histories (no fused kernels, no lowmem arm) — a large single-chip
+    # throughput tax vs the fused path (measured at 128x128 in
+    # BENCH_RESULTS combined_mesh_tax_onchip), so it is strictly a
+    # does-not-fit-otherwise escape hatch, never a performance choice.
     member_lowmem = (-(-M // K) + 1 + 2 * K) * field * 3
     if mesh is not None and member_lowmem > safety * hbm_limit_bytes:
         from jax.sharding import Mesh
