@@ -49,13 +49,16 @@ def main():
         print(json.dumps(runs[str(B)]), flush=True)
     path = os.path.join(REPO, "WEAK_SCALING.json")
     data = json.load(open(path)) if os.path.exists(path) else {}
-    data["tpu_batch_scaling_fused"] = {
+    bb = cfg.resolved_fused_block()
+    key = ("tpu_batch_scaling_blocked" if bb
+           else "tpu_batch_scaling_fused")
+    data[key] = {
         "n": 64, "T": 1.0, "iters": 3, "dtype": "float32",
+        "fused_march_block": bb,
         "note": ("fused whole-march path; ONE fixed 32-scenario (b3, kappa) "
                  "mix tiled to every batch size (round-2 curve confounded "
                  "batch size with mix hardness — the old B=128 dip was a "
-                 "harder 32-point b3 grid, not a throughput artifact). "
-                 "2026-08-20"),
+                 "harder 32-point b3 grid, not a throughput artifact)."),
         "runs": runs,
     }
     json.dump(data, open(path, "w"), indent=1)
