@@ -1250,10 +1250,15 @@ def make_batched_problem_2d(fwd_config: Optional[ForwardSolverConfig2D] = None,
     # devices. Re-mesh the caller's 1-axis scenario mesh into
     # (scenarios, gx) with the smallest gx that fits and route to the
     # combined-mesh problem. It runs the scan-path marcher on full-memory
-    # histories (no fused kernels, no lowmem arm) — a large single-chip
-    # throughput tax vs the fused path (measured at 128x128 in
-    # BENCH_RESULTS combined_mesh_tax_onchip), so it is strictly a
-    # does-not-fit-otherwise escape hatch, never a performance choice.
+    # histories (no fused kernels, no lowmem arm). Measured single-chip
+    # tax (BENCH_RESULTS combined_mesh_tax_onchip, 128x128 B=4, (1,1)
+    # mesh): the shard_map program itself costs only ~8% vs the unsharded
+    # scan path (8.34 vs 9.10 it/s) and ~7% vs fused at that small batch
+    # — the real price is losing the fused kernels' per-member Newton
+    # isolation, whose advantage grows with batch (config_4: 79.3 it/s
+    # fused at B=128 vs the scan path's vmap-lockstep collapse). So:
+    # a does-not-fit-otherwise escape hatch, cheap in program structure,
+    # expensive in foregone batch throughput.
     member_lowmem = (-(-M // K) + 1 + 2 * K) * field * 3
     if mesh is not None and member_lowmem > safety * hbm_limit_bytes:
         from jax.sharding import Mesh
