@@ -284,3 +284,19 @@ def test_adjoint_fused_blocked_matches_per_member():
     scale = np.abs(outs[0]).max()
     diff = np.abs(outs[0] - outs[2]).max()
     assert diff < 1e-5 * max(scale, 1e-30), diff / scale
+
+
+def test_fused_march_block_auto_rule():
+    """The auto rule (fused_march_block=None) resolves to 8 for grids up
+    to 96 points and 0 above — the measured crossover (blocked wins 1.14x
+    forward / 1.44x adjoint at 64x64, loses 0.71x/0.99x at 128x128;
+    BENCH_RESULTS blocked_march_onchip)."""
+    assert ForwardSolverConfig2D(Nx=64, Ny=64).resolved_fused_block() == 8
+    assert ForwardSolverConfig2D(Nx=96, Ny=64).resolved_fused_block() == 8
+    assert ForwardSolverConfig2D(Nx=128, Ny=128).resolved_fused_block() == 0
+    assert ForwardSolverConfig2D(Nx=64, Ny=128).resolved_fused_block() == 0
+    # explicit values pass through
+    assert ForwardSolverConfig2D(Nx=64, Ny=64,
+                                 fused_march_block=0).resolved_fused_block() == 0
+    assert ForwardSolverConfig2D(Nx=128, Ny=128,
+                                 fused_march_block=4).resolved_fused_block() == 4
