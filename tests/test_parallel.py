@@ -358,3 +358,28 @@ def test_multiprocess_distributed_matches_single_process():
         [sys.executable, os.path.join(repo, "scripts", "multiprocess_cpu.py")],
         timeout=1500, env={**os.environ, "JAX_PLATFORMS": ""}).returncode
     assert rc == 0
+
+
+def test_batched_2d_blocked_fused_sharded_matches_unsharded():
+    """BLOCKED fused kernels under the scenario mesh: with a 2-device mesh
+    and B=8 (4 members per device, divisible by fused_march_block=4) each
+    device runs the member-block-tiled (B_local/Bb, M)-grid kernels inside
+    shard_map — the composition the production bench runs multi-chip. Must
+    match the unsharded blocked run member-for-member."""
+    from vch_tpu.parallel.mesh import make_mesh as _mk_mesh
+    cfg = ForwardSolverConfig2D(Nx=16, Ny=16, T=0.05, dtype="float32",
+                                newton_tol=2e-4,
+                                fused_krylov_fixed_iters=4,
+                                fused_solve_precision="highest",
+                                fused_march_block=4)
+    mk = lambda: sweep_2d(cfg, b3_values=[1e-4, 2e-4, 3e-4, 4e-4],
+                          kappa_values=[1e-5, 1e-4])
+    plain = BatchedProblem2D(cfg, fused_march=True)
+    out_plain = plain.run(mk(), max_iter=2, verbose=False)
+    sharded = BatchedProblem2D(cfg, mesh=_mk_mesh(n_devices=2),
+                               fused_march=True)
+    out_mesh = sharded.run(mk(), max_iter=2, verbose=False)
+    np.testing.assert_allclose(out_mesh["cost_history"],
+                               out_plain["cost_history"], rtol=1e-5)
+    np.testing.assert_array_equal(out_mesh["ls_trials"],
+                                  out_plain["ls_trials"])
